@@ -1,0 +1,62 @@
+"""Environment registry.
+
+Replaces the reference's gym registration + ``make_env`` lookup
+(`/root/reference/envs/__init__.py:31-48`, `utils/env_processing.py:30-56`)
+with a plain name -> factory map over pure-function JAX environments.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict
+
+from dtqn_tpu.envs.core import Environment, ObsKind, Timestep
+from dtqn_tpu.envs.car_flag import CarFlag, CarFlagState
+from dtqn_tpu.envs.memory_cards import MemoryCards, MemoryState
+
+_REGISTRY: Dict[str, Callable[[], Environment]] = {}
+
+
+def register(name: str, factory: Callable[[], Environment]) -> None:
+    _REGISTRY[name] = factory
+
+
+def make_env(name: str) -> Environment:
+    """Instantiate a registered environment by name.
+
+    Gridverse YAML names (``gv_*.yaml``) resolve to the JAX Gridverse memory
+    engine, mirroring the reference's YAML fallback path
+    (utils/env_processing.py:34-54).
+    """
+    if name in _REGISTRY:
+        return _REGISTRY[name]()
+    if name.startswith("gv_"):
+        from dtqn_tpu.envs.gridverse import make_gridverse_env
+
+        return make_gridverse_env(name)
+    raise KeyError(
+        f"Unknown environment {name!r}. Registered: {sorted(_REGISTRY)}"
+    )
+
+
+def registered_envs():
+    return sorted(_REGISTRY)
+
+
+# Memory cards (reference envs/__init__.py:31-36: 50-step limit)
+register("Memory-5-v0", lambda: MemoryCards(num_pairs=5, max_episode_steps=50))
+
+# Car Flag (reference envs/__init__.py:42-47: 200-step limit)
+register("DiscreteCarFlag-v0", lambda: CarFlag())
+
+
+def _register_pomdps() -> None:
+    from dtqn_tpu.envs.pomdp import make_hallway, make_heavenhell
+
+    register("POMDP-hallway-episodic-v0", make_hallway)
+    register("POMDP-heavenhell_3-episodic-v0", lambda: make_heavenhell(3))
+
+
+try:  # Tabular POMDPs are part of the package; guard only against cycles.
+    _register_pomdps()
+except ImportError:  # pragma: no cover - during partial builds
+    pass

@@ -1,0 +1,119 @@
+"""Car Flag: 1-D car must drive to heaven, avoiding hell.
+
+Capability-parity reimplementation of the reference env
+(`/root/reference/envs/car_flag.py:18-159`) as a pure JAX function.  Dynamics:
+a car on [-1.1, 1.1] with velocity clamped to ±0.07 accelerates with force
+±0.0015; heaven is randomly at +1 or -1 each episode (hell opposite); a priest
+near x=0.5 (±0.2) reveals heaven's direction in the 3rd obs component.
+Reward +1 at heaven, -1 at hell, episode ends at either (car_flag.py:98-117).
+
+Obs = [position, velocity, priest_hint] (car_flag.py:119-131).
+Discrete actions {0,1,2} -> force {-1,0,1} (car_flag.py:79-81).
+Registered with a 200-step time limit (envs/__init__.py:42-47).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from dtqn_tpu.envs.core import Environment, ObsKind
+
+
+@struct.dataclass
+class CarFlagState:
+    position: jax.Array  # f32 scalar
+    velocity: jax.Array  # f32 scalar
+    heaven: jax.Array  # f32 scalar, +1.0 or -1.0
+    t: jax.Array  # i32 scalar, steps taken this episode
+
+
+class CarFlag(Environment):
+    """Discrete-action Car Flag (DiscreteCarFlag-v0)."""
+
+    name = "DiscreteCarFlag-v0"
+    num_actions = 3
+    max_episode_steps = 200
+    obs_kind = ObsKind.CONTINUOUS
+    obs_shape = (3,)
+    obs_dtype = jnp.float32
+
+    max_position = 1.1
+    max_speed = 0.07
+    power = 0.0015
+    priest_position = 0.5
+    priest_delta = 0.2
+    goal_position = 1.0  # |heaven| = |hell| = 1.0
+
+    @property
+    def obs_mask(self) -> float:
+        # Continuous-obs padding sentinel (env_processing.py:110-116): below
+        # the minimum possible observation (-1.1) so the net can tell padding.
+        return -5.0
+
+    def _observe(self, state: CarFlagState) -> jax.Array:
+        near_priest = jnp.logical_and(
+            state.position >= self.priest_position - self.priest_delta,
+            state.position <= self.priest_position + self.priest_delta,
+        )
+        # Heaven at +1 => hint +1 (heaven right); at -1 => hint -1.
+        hint = jnp.where(near_priest, state.heaven, 0.0)
+        return jnp.stack(
+            [state.position, state.velocity, hint]
+        ).astype(jnp.float32)
+
+    def reset_env(self, key: jax.Array) -> Tuple[jax.Array, CarFlagState]:
+        key_side, key_pos = jax.random.split(key)
+        heaven = jnp.where(
+            jax.random.bernoulli(key_side), jnp.float32(-1.0), jnp.float32(1.0)
+        )
+        position = jax.random.uniform(
+            key_pos, (), jnp.float32, minval=-0.2, maxval=0.2
+        )
+        state = CarFlagState(
+            position=position,
+            velocity=jnp.float32(0.0),
+            heaven=heaven,
+            t=jnp.int32(0),
+        )
+        # Initial hint is 0 in the reference (car_flag.py:158), and the start
+        # position never reaches the priest zone, so _observe matches.
+        return self._observe(state), state
+
+    def step_env(
+        self, key: jax.Array, state: CarFlagState, action: jax.Array
+    ) -> Tuple[jax.Array, CarFlagState, jax.Array, jax.Array, Dict[str, jax.Array]]:
+        del key  # dynamics are deterministic
+        force = jnp.asarray(action, jnp.float32) - 1.0
+        velocity = jnp.clip(
+            state.velocity + force * self.power, -self.max_speed, self.max_speed
+        )
+        position = jnp.clip(
+            state.position + velocity, -self.max_position, self.max_position
+        )
+        # Left wall is sticky: hitting the min position zeroes negative
+        # velocity (car_flag.py:95-96).
+        velocity = jnp.where(
+            jnp.logical_and(position == -self.max_position, velocity < 0),
+            0.0,
+            velocity,
+        )
+
+        at_plus = position >= self.goal_position
+        at_minus = position <= -self.goal_position
+        terminated = jnp.logical_or(at_plus, at_minus)
+        heaven_right = state.heaven > 0
+        reward = jnp.where(
+            at_plus,
+            jnp.where(heaven_right, 1.0, -1.0),
+            jnp.where(at_minus, jnp.where(heaven_right, -1.0, 1.0), 0.0),
+        ).astype(jnp.float32)
+
+        new_state = state.replace(
+            position=position, velocity=velocity, t=state.t + 1
+        )
+        info = {"is_success": reward > 0}
+        return self._observe(new_state), new_state, reward, terminated, info
