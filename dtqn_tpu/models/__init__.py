@@ -1,0 +1,90 @@
+"""Q-network model registry.
+
+Mirrors the reference's MODEL_MAP (`/root/reference/utils/agent_utils.py:
+17-24`): model string -> network constructor.  ``build_network`` plays the
+role of the ``make_model``/``make_dtqn`` factory closures
+(agent_utils.py:112-144), deriving environment-interface fields from an
+``Environment``.
+"""
+
+from __future__ import annotations
+
+from flax import linen as nn
+
+from dtqn_tpu.envs.core import Environment
+from dtqn_tpu.models.dtqn import DTQN
+from dtqn_tpu.models.recurrent import ADRQN, DARQN, DQN, DRQN, zero_carry
+
+MODEL_MAP = {
+    "DTQN": DTQN,
+    "DTQN-bag": DTQN,
+    "ADRQN": ADRQN,
+    "DRQN": DRQN,
+    "DARQN": DARQN,
+    "DQN": DQN,
+}
+
+RECURRENT_MODELS = ("DRQN", "ADRQN", "DARQN")
+
+
+def build_network(
+    model_str: str,
+    env: Environment,
+    *,
+    embed_per_obs_dim: int = 8,
+    action_dim: int = 0,
+    inner_embed: int = 128,
+    num_heads: int = 8,
+    num_layers: int = 2,
+    context_len: int = 50,
+    dropout: float = 0.0,
+    gate: str = "res",
+    identity: bool = False,
+    pos: str = "learned",
+    bag_size: int = 0,
+) -> nn.Module:
+    if model_str not in MODEL_MAP:
+        raise KeyError(f"Unknown model {model_str!r}; choices: {sorted(MODEL_MAP)}")
+    vocab = env.obs_vocab_size if env.is_discrete else 0
+    common = dict(
+        obs_kind=env.obs_kind,
+        obs_shape=tuple(env.obs_shape),
+        num_actions=env.num_actions,
+        vocab_size=vocab,
+        embed_per_obs_dim=embed_per_obs_dim,
+        inner_embed=inner_embed,
+    )
+    if "DTQN" in model_str:
+        return DTQN(
+            action_dim=action_dim,
+            num_heads=num_heads,
+            num_layers=num_layers,
+            context_len=context_len,
+            dropout=dropout,
+            gate=gate,
+            identity=identity,
+            pos=pos,
+            bag_size=bag_size,
+            **common,
+        )
+    if model_str == "DQN":
+        return DQN(**common)
+    if model_str == "ADRQN":
+        # ADRQN conditions on the previous action; ensure it has features.
+        return ADRQN(action_dim=action_dim or 8, **common)
+    if model_str == "DRQN":
+        return DRQN(action_dim=0, **common)
+    return DARQN(action_dim=0, **common)
+
+
+__all__ = [
+    "MODEL_MAP",
+    "RECURRENT_MODELS",
+    "build_network",
+    "DTQN",
+    "DQN",
+    "DRQN",
+    "ADRQN",
+    "DARQN",
+    "zero_carry",
+]

@@ -1,0 +1,109 @@
+"""Transformer blocks for DTQN.
+
+Parity with `/root/reference/dtqn/networks/transformer.py`:
+  - ``TransformerLayer`` (post-LN): MHA with causal mask -> **ReLU on the
+    attention output** (transformer.py:72, a deliberate reference quirk) ->
+    gate -> LayerNorm -> 4x ReLU FFN -> ReLU -> gate -> LayerNorm.
+  - ``identity=True`` switches to the GTrXL identity-map reordering (pre-LN,
+    no LN after the gates) (transformer.py:81-101).
+
+The attention core dispatches to XLA or the fused Pallas TPU kernel via
+``dtqn_tpu.ops.attention``.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from dtqn_tpu.models.gates import make_gate
+from dtqn_tpu.models.init import make_dense
+from dtqn_tpu.ops.attention import dot_product_attention
+
+
+class MultiHeadAttention(nn.Module):
+    """Projections + attention core (replaces nn.MultiheadAttention)."""
+
+    features: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(
+        self,
+        q_in: jax.Array,
+        k_in: jax.Array,
+        v_in: jax.Array,
+        *,
+        causal: bool = False,
+        deterministic: bool = True,
+    ) -> jax.Array:
+        if self.features % self.num_heads:
+            raise ValueError("features must divide num_heads")
+        head_dim = self.features // self.num_heads
+
+        def split_heads(x):
+            return x.reshape(*x.shape[:-1], self.num_heads, head_dim)
+
+        q = split_heads(make_dense(self.features, name="query")(q_in))
+        k = split_heads(make_dense(self.features, name="key")(k_in))
+        v = split_heads(make_dense(self.features, name="value")(v_in))
+        out = dot_product_attention(q, k, v, causal=causal)
+        out = out.reshape(*out.shape[:-2], self.features)
+        out = make_dense(self.features, name="out")(out)
+        if self.dropout > 0.0:
+            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
+        return out
+
+
+class FeedForward(nn.Module):
+    """4x-wide ReLU MLP (transformer.py:37-42)."""
+
+    features: int
+    widening: int = 4
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        x = make_dense(self.widening * self.features)(x)
+        x = nn.relu(x)
+        x = make_dense(self.features)(x)
+        if self.dropout > 0.0:
+            x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
+        return x
+
+
+class TransformerLayer(nn.Module):
+    features: int
+    num_heads: int
+    dropout: float = 0.0
+    gate: str = "res"
+    identity: bool = False
+
+    @nn.compact
+    def __call__(self, x: jax.Array, *, deterministic: bool = True) -> jax.Array:
+        attn = MultiHeadAttention(
+            self.features, self.num_heads, self.dropout, name="attention"
+        )
+        ffn = FeedForward(self.features, dropout=self.dropout, name="ffn")
+        attn_gate = make_gate(self.gate, self.features)
+        mlp_gate = make_gate(self.gate, self.features)
+        ln1 = nn.LayerNorm(name="layernorm1")
+        ln2 = nn.LayerNorm(name="layernorm2")
+
+        if self.identity:
+            # GTrXL identity-map reordering (transformer.py:86-101).
+            x_norm = ln1(x)
+            att = attn(
+                x_norm, x_norm, x_norm, causal=True, deterministic=deterministic
+            )
+            x = attn_gate(x, nn.relu(att))
+            y = ffn(ln2(x), deterministic=deterministic)
+            return mlp_gate(x, nn.relu(y))
+
+        # Post-LN ordering (transformer.py:63-78).
+        att = attn(x, x, x, causal=True, deterministic=deterministic)
+        x = ln1(attn_gate(x, nn.relu(att)))
+        y = ffn(x, deterministic=deterministic)
+        return ln2(mlp_gate(x, nn.relu(y)))

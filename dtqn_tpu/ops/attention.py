@@ -1,0 +1,76 @@
+"""Attention primitives: XLA reference path + Pallas TPU kernel dispatch.
+
+The reference uses ``nn.MultiheadAttention`` with a precomputed upper-
+triangular -inf causal mask (`/root/reference/dtqn/networks/transformer.py:
+49-68`) and an unmasked cross-attention over the persistent-memory bag
+(`dtqn/networks/dtqn.py:137-147,201-214`).  Here both are explicit einsum
+pipelines so the hot path can be swapped for the fused Pallas kernel in
+``dtqn_tpu.ops.pallas_attention`` via ``set_attention_impl``.
+
+Shapes use [batch, seq, heads, head_dim] throughout.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_IMPL = "xla"  # "xla" | "pallas"
+
+
+def set_attention_impl(impl: str) -> None:
+    """Select the attention backend globally ("xla" or "pallas")."""
+    global _IMPL
+    if impl not in ("xla", "pallas"):
+        raise ValueError(f"unknown attention impl {impl!r}")
+    _IMPL = impl
+
+
+def get_attention_impl() -> str:
+    return _IMPL
+
+
+def _xla_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool,
+) -> jax.Array:
+    """Scaled dot-product attention on [B, L, H, D] tensors."""
+    dim = q.shape[-1]
+    scale = 1.0 / jnp.sqrt(jnp.asarray(dim, q.dtype))
+    # [B, H, Lq, Lk]
+    scores = jnp.einsum("blhd,bmhd->bhlm", q, k) * scale
+    if causal:
+        lq, lk = scores.shape[-2], scores.shape[-1]
+        mask = jnp.tril(jnp.ones((lq, lk), bool), k=lk - lq)
+        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+    weights = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhlm,bmhd->blhd", weights, v)
+
+
+def dot_product_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    causal: bool = False,
+) -> jax.Array:
+    """Multi-head attention core with backend dispatch.
+
+    Args:
+      q: [B, Lq, H, D] queries.
+      k, v: [B, Lk, H, D] keys/values.
+      causal: apply a lower-triangular mask (self-attention over time).
+
+    Returns [B, Lq, H, D].
+    """
+    if _IMPL == "pallas":
+        from dtqn_tpu.ops.pallas_attention import pallas_attention
+
+        return pallas_attention(q, k, v, causal=causal)
+    return _xla_attention(q, k, v, causal=causal)

@@ -1,0 +1,228 @@
+"""Network tests: shapes, causal masking, init stats, mode equivalence.
+
+Test strategy per SURVEY.md §4: causal-mask leak test (perturb a future
+token => past Q unchanged), parity across gate/pos variants, stepwise-vs-
+batch equivalence for recurrent nets.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dtqn_tpu.envs import make_env
+from dtqn_tpu.envs.core import ObsKind
+from dtqn_tpu.models import DTQN, build_network, zero_carry
+
+B, L, OBS, ACTS = 4, 10, 3, 3
+
+
+def make_dtqn(**kw):
+    defaults = dict(
+        obs_kind=ObsKind.CONTINUOUS,
+        obs_shape=(OBS,),
+        num_actions=ACTS,
+        inner_embed=32,
+        num_heads=4,
+        num_layers=2,
+        context_len=L,
+    )
+    defaults.update(kw)
+    return DTQN(**defaults)
+
+
+def init_and_apply(net, *args, **kwargs):
+    params = net.init(jax.random.key(0), *args, **kwargs)
+    return params, net.apply(params, *args, **kwargs)
+
+
+class TestDTQN:
+    def test_output_shape(self):
+        obss = jnp.zeros((B, L, OBS))
+        net = make_dtqn()
+        _, q = init_and_apply(net, obss)
+        assert q.shape == (B, L, ACTS)
+
+    def test_causal_no_leak(self):
+        """Perturbing tokens after t must not change Q at rows <= t."""
+        net = make_dtqn()
+        obss = jax.random.normal(jax.random.key(1), (B, L, OBS))
+        params = net.init(jax.random.key(0), obss)
+        q1 = net.apply(params, obss)
+        t = 4
+        obss2 = obss.at[:, t + 1 :, :].set(123.0)
+        q2 = net.apply(params, obss2)
+        np.testing.assert_allclose(
+            np.asarray(q1[:, : t + 1]), np.asarray(q2[:, : t + 1]), atol=1e-5
+        )
+        # ...and rows past t DO change (sanity that the test has power).
+        assert not np.allclose(np.asarray(q1[:, t + 1 :]), np.asarray(q2[:, t + 1 :]))
+
+    def test_action_conditioning_right_shift(self):
+        """With action_dim > 0, Q at row t depends on actions < t only."""
+        net = make_dtqn(action_dim=4)
+        obss = jax.random.normal(jax.random.key(1), (B, L, OBS))
+        actions = jnp.zeros((B, L), jnp.int32)
+        params = net.init(jax.random.key(0), obss, actions)
+        q1 = net.apply(params, obss, actions)
+        # Changing the action AT the last row never matters (right shift
+        # drops it; dtqn/networks/dtqn.py:189-192).
+        actions2 = actions.at[:, -1].set(1)
+        q2 = net.apply(params, obss, actions2)
+        np.testing.assert_allclose(np.asarray(q1), np.asarray(q2), atol=1e-6)
+        # Changing action at t=0 affects rows >= 1 but not row 0.
+        actions3 = actions.at[:, 0].set(2)
+        q3 = net.apply(params, obss, actions3)
+        np.testing.assert_allclose(
+            np.asarray(q1[:, 0]), np.asarray(q3[:, 0]), atol=1e-6
+        )
+        assert not np.allclose(np.asarray(q1[:, 1:]), np.asarray(q3[:, 1:]))
+
+    @pytest.mark.parametrize("gate", ["res", "gru"])
+    @pytest.mark.parametrize("identity", [False, True])
+    @pytest.mark.parametrize("pos", ["learned", "sin", "none"])
+    def test_variants_finite(self, gate, identity, pos):
+        net = make_dtqn(gate=gate, identity=identity, pos=pos)
+        obss = jax.random.normal(jax.random.key(1), (B, L, OBS))
+        _, q = init_and_apply(net, obss)
+        assert q.shape == (B, L, ACTS)
+        assert bool(jnp.isfinite(q).all())
+
+    def test_bag_cross_attention(self):
+        bag = 6
+        net = make_dtqn(bag_size=bag, action_dim=4)
+        obss = jax.random.normal(jax.random.key(1), (B, L, OBS))
+        actions = jnp.zeros((B, L), jnp.int32)
+        bag_obss = jax.random.normal(jax.random.key(2), (B, bag, OBS))
+        bag_actions = jnp.zeros((B, bag), jnp.int32)
+        params = net.init(jax.random.key(0), obss, actions, bag_obss, bag_actions)
+        q = net.apply(params, obss, actions, bag_obss, bag_actions)
+        assert q.shape == (B, L, ACTS)
+        # Bag contents influence the output.
+        q2 = net.apply(params, obss, actions, bag_obss + 1.0, bag_actions)
+        assert not np.allclose(np.asarray(q), np.asarray(q2))
+        # Context and bag share embedder params (dtqn.py:201-209).
+        flat = jax.tree_util.tree_leaves_with_path(params)
+        names = ["/".join(str(p) for p in path) for path, _ in flat]
+        assert not any("bag_action" in n for n in names)
+
+    def test_discrete_obs_and_mask_token(self):
+        env = make_env("Memory-5-v0")
+        net = DTQN(
+            obs_kind=env.obs_kind,
+            obs_shape=tuple(env.obs_shape),
+            num_actions=env.num_actions,
+            vocab_size=env.obs_vocab_size,
+            inner_embed=32,
+            num_heads=2,
+            num_layers=1,
+            context_len=L,
+        )
+        # Mask token (= vocab-1) must be embeddable.
+        obss = jnp.full((B, L, env.obs_length), env.obs_vocab_size - 1, jnp.int32)
+        _, q = init_and_apply(net, obss)
+        assert bool(jnp.isfinite(q).all())
+
+    def test_init_stats(self):
+        """Dense kernels ~ N(0, 0.02) (utils/torch_utils.py:4-15)."""
+        net = make_dtqn(inner_embed=128)
+        obss = jnp.zeros((B, L, OBS))
+        params = net.init(jax.random.key(0), obss)
+        kernel = params["params"]["layer_0"]["attention"]["query"]["kernel"]
+        std = float(jnp.std(kernel))
+        assert 0.015 < std < 0.025
+        bias = params["params"]["layer_0"]["attention"]["query"]["bias"]
+        assert float(jnp.abs(bias).max()) == 0.0
+
+    def test_gru_gate_bias(self):
+        net = make_dtqn(gate="gru")
+        obss = jnp.zeros((B, L, OBS))
+        params = net.init(jax.random.key(0), obss)
+        wz_bias = params["params"]["layer_0"]["GRUGate_0"]["w_z"]["bias"]
+        assert float(wz_bias[0]) == -2.0
+
+
+class TestRecurrent:
+    def _env_net(self, model):
+        env = make_env("DiscreteCarFlag-v0")
+        net = build_network(model, env, inner_embed=32, context_len=L)
+        return env, net
+
+    @pytest.mark.parametrize("model", ["DRQN", "ADRQN", "DARQN"])
+    def test_shapes_and_carry(self, model):
+        env, net = self._env_net(model)
+        obss = jax.random.normal(jax.random.key(1), (B, L, 3))
+        actions = jnp.zeros((B, L), jnp.int32)
+        params = net.init(jax.random.key(0), obss, actions)
+        q, carry = net.apply(params, obss, actions)
+        assert q.shape == (B, L, 3)
+        assert carry[0].shape == (B, 32) and carry[1].shape == (B, 32)
+
+    @pytest.mark.parametrize("model", ["DRQN", "ADRQN"])
+    def test_stepwise_matches_batch(self, model):
+        """Feeding one obs at a time with carry == full-sequence forward."""
+        env, net = self._env_net(model)
+        obss = jax.random.normal(jax.random.key(1), (1, L, 3))
+        actions = jax.random.randint(jax.random.key(2), (1, L), 0, 3)
+        params = net.init(jax.random.key(0), obss, actions)
+        q_batch, _ = net.apply(params, obss, actions)
+
+        carry = zero_carry(1, 32)
+        qs = []
+        for t in range(L):
+            # Stepwise acting feeds the PREVIOUS action already shifted
+            # (agents/drqn.py:88-107 passes context.action[t] stepwise); the
+            # batch path right-shifts internally, so feed action[t-1].
+            prev_a = actions[:, t - 1 : t] if t > 0 else jnp.zeros((1, 1), jnp.int32)
+            if model == "ADRQN" and t == 0:
+                # First step has zeroed action features in batch mode; use a
+                # fresh param apply with action embedding zeroed via mask.
+                pass
+            q_t, carry = net.apply(
+                params, obss[:, t : t + 1], prev_a, carry=carry
+            )
+            qs.append(q_t)
+        q_step = jnp.concatenate(qs, axis=1)
+        if model == "DRQN":
+            np.testing.assert_allclose(
+                np.asarray(q_batch), np.asarray(q_step), atol=1e-5
+            )
+        else:
+            # ADRQN: batch mode zeroes the t=0 action features while the
+            # stepwise path embeds the fed action (the reference has the same
+            # discrepancy, adrqn.py:73-76 vs agents/drqn.py:88-107); the t=0
+            # carry difference decays but leaves ~1e-5 residue downstream.
+            np.testing.assert_allclose(
+                np.asarray(q_batch[:, 1:]), np.asarray(q_step[:, 1:]), atol=1e-4
+            )
+
+    def test_episode_length_masking(self):
+        env, net = self._env_net("DRQN")
+        obss = jax.random.normal(jax.random.key(1), (B, L, 3))
+        actions = jnp.zeros((B, L), jnp.int32)
+        params = net.init(jax.random.key(0), obss, actions)
+        lens = jnp.array([3, 5, L, 1])
+        q, _ = net.apply(params, obss, actions, episode_lengths=lens)
+        # Past the episode length the LSTM output is zeroed, so Q equals the
+        # Q head at zero input — identical across all padded positions.
+        q_pad_a = q[0, 3:]
+        q_pad_b = q[3, 1:]
+        np.testing.assert_allclose(
+            np.asarray(q_pad_a[0]), np.asarray(q_pad_b[0]), atol=1e-6
+        )
+
+    def test_dqn(self):
+        env = make_env("DiscreteCarFlag-v0")
+        net = build_network("DQN", env, inner_embed=32)
+        obss = jax.random.normal(jax.random.key(1), (B, 1, 3))
+        params = net.init(jax.random.key(0), obss)
+        q = net.apply(params, obss)
+        assert q.shape == (B, 1, 3)
+
+
+def test_build_network_registry():
+    env = make_env("DiscreteCarFlag-v0")
+    with pytest.raises(KeyError):
+        build_network("NOPE", env)
+    net = build_network("DTQN-bag", env, bag_size=4, inner_embed=32)
+    assert net.bag_size == 4
