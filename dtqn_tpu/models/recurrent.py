@@ -37,9 +37,12 @@ from dtqn_tpu.models.init import make_dense
 
 def zero_carry(batch_size: int, features: int):
     """Initial LSTM carry, matching the reference's zeros init
-    (agents/drqn.py:54-62)."""
-    z = jnp.zeros((batch_size, features), jnp.float32)
-    return (z, z)
+    (agents/drqn.py:54-62).  Two distinct arrays — aliasing one buffer for
+    (c, h) breaks argument donation ("donate the same buffer twice")."""
+    return (
+        jnp.zeros((batch_size, features), jnp.float32),
+        jnp.zeros((batch_size, features), jnp.float32),
+    )
 
 
 class QHead(nn.Module):

@@ -1,0 +1,211 @@
+"""Experiment orchestration: the host-side shell around the jitted loop.
+
+Parity with `/root/reference/run.py:408-529` (``run_experiment``): env
+construction, seeding, agent build, resume-or-prepopulate, the train loop
+with periodic evaluation/logging/policy saves, slurm-style time-limit
+checkpointing, and the mini-checkpoint completion sentinel.
+
+The host only does config, logging and checkpoint I/O; each chunk of
+``eval_frequency`` env steps runs as one jitted scan on device
+(train/loop.py), replacing the reference's per-timestep Python loop
+(run.py:290-353).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from collections import deque
+from typing import List, Optional
+
+import jax
+import numpy as np
+
+from dtqn_tpu.agents import Agent
+from dtqn_tpu.config import ExperimentConfig
+from dtqn_tpu.envs import make_env
+from dtqn_tpu.ops.attention import set_attention_impl
+from dtqn_tpu.train.loop import (
+    make_evaluate,
+    make_prepopulate,
+    make_train_chunk,
+)
+from dtqn_tpu.utils import checkpoint as ckpt
+from dtqn_tpu.utils.epsilon import EpsilonSchedule
+from dtqn_tpu.utils.logging import CSVLogger, get_logger, timestamp
+
+
+class HostRunningAverage:
+    """Host-side windowed mean for eval metrics (logging_utils.py:10-24)."""
+
+    def __init__(self, size: int, values=None):
+        self.size = size
+        self.q = deque(values or [], maxlen=size)
+
+    def add(self, val: float) -> None:
+        self.q.append(float(val))
+
+    def mean(self) -> float:
+        return sum(self.q) / max(len(self.q), 1)
+
+    def to_list(self):
+        return list(self.q)
+
+
+def run_experiment(config: ExperimentConfig) -> dict:
+    """Train per the config; returns final metrics for programmatic use."""
+    start_time = time.time()
+    set_attention_impl(config.attention)
+
+    env = make_env(config.envs[0])
+    eval_envs = [make_env(name) for name in config.envs]
+    if config.max_episode_steps > 0:
+        env.max_episode_steps = config.max_episode_steps
+        for e in eval_envs:
+            e.max_episode_steps = config.max_episode_steps
+
+    agent = Agent(config.agent_config(), env)
+    # LinearAnneal(1.0, 0.1, num_steps/10) (run.py:420).
+    eps = EpsilonSchedule(1.0, 0.1, max(config.num_steps // 10, 1))
+
+    state = agent.init_state(jax.random.key(config.seed))
+
+    os.makedirs(config.policy_dir(), exist_ok=True)
+    policy_path = config.policy_path()
+
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(state.params)
+    )
+    if config.verbose:
+        print(
+            f"[ {timestamp()} ] Creating {config.model} with "
+            f"{n_params} parameters"
+        )
+
+    # Enjoy mode: load a saved policy and report greedy performance
+    # (run.py:463-467; pyglet rendering replaced by a text report).
+    if config.render:
+        params = ckpt.load_policy(policy_path, state.params)
+        ev = make_evaluate(agent, eval_envs[0], config.eval_episodes)
+        sr, ret, ln = ev(params, jax.random.key(config.seed + 1))
+        print(
+            f"[enjoy] SuccessRate={float(sr):.2f} Return={float(ret):.2f} "
+            f"EpisodeLength={float(ln):.1f}"
+        )
+        return {"success_rate": float(sr), "return": float(ret)}
+
+    mean_success_rate = HostRunningAverage(10)
+    mean_reward = HostRunningAverage(10)
+    mean_episode_length = HostRunningAverage(10)
+
+    # Resume-or-exit protocol (run.py:471-495).
+    mini = ckpt.load_mini_checkpoint(policy_path)
+    wandb_kwargs = {}
+    if mini is not None:
+        if mini["step"] >= config.num_steps:
+            print(
+                f"Found completed run ({mini['step']} steps); nothing to do."
+            )
+            return {"completed": True, "step": mini["step"]}
+        if ckpt.has_checkpoint(policy_path):
+            state, extra = ckpt.load_checkpoint(policy_path, state)
+            mean_success_rate = HostRunningAverage(
+                10, extra.get("mean_success_rate")
+            )
+            mean_reward = HostRunningAverage(10, extra.get("mean_reward"))
+            mean_episode_length = HostRunningAverage(
+                10, extra.get("mean_episode_length")
+            )
+            wandb_kwargs = {"resume": "must", "id": mini.get("wandb_id")}
+            print(f"Resumed from checkpoint at {int(state.env_steps)} steps.")
+    else:
+        # Prepopulate the replay buffer with random experience (run.py:495).
+        prepop_iters = max(config.prepop_steps // config.num_envs, 1)
+        state = make_prepopulate(agent, prepop_iters)(state)
+
+    logger = get_logger(policy_path, config, wandb_kwargs)
+
+    train_chunk = make_train_chunk(
+        agent,
+        eps,
+        config.resolved_updates_per_iter,
+        config.resolved_iters_per_chunk,
+    )
+    evaluators = [
+        make_evaluate(agent, e, config.eval_episodes) for e in eval_envs
+    ]
+
+    time_budget = (
+        config.time_limit * 3600 - (time.time() - start_time)
+        if config.time_limit
+        else None
+    )
+
+    last_policy_save = int(state.env_steps)
+    final_log = {}
+    while int(state.env_steps) < config.num_steps:
+        state = train_chunk(state)
+        step = int(state.env_steps)
+        hours = (time.time() - start_time) / 3600
+
+        if int(state.nonfinite_grads) > 0:
+            # The reference's error_if_nonfinite grad clip fails loudly
+            # (dqn.py:196-200); surface it here at the host boundary.
+            raise FloatingPointError(
+                f"{int(state.nonfinite_grads)} non-finite gradient steps"
+            )
+
+        log_vals = {
+            **{k: float(v) for k, v in state.diagnostics.means().items()},
+            "losses/hours": hours,
+        }
+        for name, evaluate in zip(config.envs, evaluators):
+            state = state.replace(key=jax.random.split(state.key)[0])
+            sr, ret, ln = evaluate(state.params, state.key)
+            log_vals[f"{name}/SuccessRate"] = float(sr)
+            log_vals[f"{name}/Return"] = float(ret)
+            log_vals[f"{name}/EpisodeLength"] = float(ln)
+            mean_success_rate.add(float(sr))
+            mean_reward.add(float(ret))
+            mean_episode_length.add(float(ln))
+        logger.log(log_vals, step=step)
+        final_log = log_vals
+
+        if config.verbose:
+            name = config.envs[-1]
+            print(
+                f"[ {timestamp()} ] Steps: {step}, "
+                f"Env: {name}, "
+                f"Success Rate: {log_vals[f'{name}/SuccessRate']:.2f}, "
+                f"Return: {log_vals[f'{name}/Return']:.2f}, "
+                f"Episode Length: {log_vals[f'{name}/EpisodeLength']:.2f}, "
+                f"Hours: {hours:.2f}"
+            )
+
+        # Policy snapshot every 50k env steps (run.py:337-338).
+        if config.save_policy and step - last_policy_save >= 50_000:
+            ckpt.save_policy(policy_path, state.params)
+            last_policy_save = step
+
+        # Slurm-style time-limit checkpoint (run.py:340-353).
+        if time_budget and time.time() - start_time >= time_budget:
+            print(
+                f"Reached time limit. Saving checkpoint at {step} steps."
+            )
+            ckpt.save_checkpoint(
+                policy_path,
+                state,
+                extra={
+                    "mean_success_rate": mean_success_rate.to_list(),
+                    "mean_reward": mean_reward.to_list(),
+                    "mean_episode_length": mean_episode_length.to_list(),
+                },
+            )
+            ckpt.save_mini_checkpoint(policy_path, step, None)
+            return final_log
+
+    # Completion sentinel (run.py:527-529).
+    ckpt.save_mini_checkpoint(policy_path, int(state.env_steps), None)
+    if config.save_policy:
+        ckpt.save_policy(policy_path, state.params)
+    return final_log

@@ -7,7 +7,6 @@ JAX trick (SURVEY.md §4).  Must run before the first ``import jax``.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +15,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-registers the TPU platform and overrides
+# JAX_PLATFORMS; pin tests to CPU explicitly AFTER import (before any
+# backend initialization) or every eager op round-trips the TPU tunnel.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+# This host has 2 cores; XLA CPU compiles of scanned train loops are the
+# dominant test cost. The persistent cache makes reruns near-instant.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
