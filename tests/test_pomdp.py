@@ -1,0 +1,150 @@
+"""Tabular POMDP engine, classic domains, and .pomdp parser tests."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dtqn_tpu.envs import make_env
+from dtqn_tpu.envs.pomdp import make_hallway, make_heavenhell
+from dtqn_tpu.envs.pomdp_parser import (
+    make_tabular_env,
+    parse_pomdp_file,
+    parse_pomdp_text,
+    parse_pomdp_text_native,
+)
+
+TIGER = os.path.join(os.path.dirname(__file__), "data", "tiger.pomdp")
+
+
+class TestHeavenHell:
+    def setup_method(self):
+        self.env = make_heavenhell(3)
+
+    def _run(self, actions, key=0, reset_key=5):
+        obs, st = self.env.reset(jax.random.key(reset_key))
+        key = jax.random.key(key)
+        r = term = info = None
+        for a in actions:
+            key, k = jax.random.split(key)
+            obs, st, r, term, info = self.env.step_env(k, st, jnp.int32(a))
+        return obs, st, r, term, info
+
+    def test_metadata(self):
+        assert self.env.num_actions == 4
+        assert self.env.num_obs == 12  # 10 positions + 2 priest obs
+        assert self.env.obs_mask == 12.0
+        assert self.env.obs_length == 1
+
+    def test_priest_reveals_side_and_optimal_play(self):
+        # Walk to the priest (3x down), read the side, return, take the arm.
+        obs, *_ = self._run([2, 2, 2])
+        side = int(obs[0]) - 10
+        assert side in (0, 1)
+        arm = [0] * 4 if side == 0 else [1] * 4
+        _, _, r, term, info = self._run([2, 2, 2, 3, 3, 3] + arm)
+        assert bool(term) and float(r) == 1.0 and bool(info["is_success"])
+
+    def test_wrong_arm_is_hell(self):
+        obs, *_ = self._run([2, 2, 2])
+        side = int(obs[0]) - 10
+        arm = [1] * 4 if side == 0 else [0] * 4
+        _, _, r, term, info = self._run([2, 2, 2, 3, 3, 3] + arm)
+        assert bool(term) and float(r) == -1.0 and not bool(info["is_success"])
+
+    def test_heaven_side_random(self):
+        sides = set()
+        for seed in range(16):
+            obs, st = self.env.reset(jax.random.key(seed))
+            sides.add(int(st.s) // 10)
+        assert sides == {0, 1}
+
+    def test_tables_are_stochastic_rows(self):
+        T = np.asarray(self.env._T)
+        np.testing.assert_allclose(T.sum(-1), 1.0, atol=1e-6)
+        O = np.asarray(self.env._O)
+        np.testing.assert_allclose(O.sum(-1), 1.0, atol=1e-6)
+
+
+class TestHallway:
+    def test_reachable_and_stochastic(self):
+        env = make_hallway()
+        T = np.asarray(env._T)
+        np.testing.assert_allclose(T.sum(-1), 1.0, atol=1e-6)
+        O = np.asarray(env._O)
+        np.testing.assert_allclose(O.sum(-1), 1.0, atol=1e-6)
+        # Random policy reaches the goal eventually.
+        obs, st = env.reset(jax.random.key(0))
+        key = jax.random.key(1)
+        goals = 0
+        for _ in range(600):
+            key, ka, ks, kr = jax.random.split(key, 4)
+            a = jax.random.randint(ka, (), 0, env.num_actions)
+            obs, st, r, term, info = env.step_env(ks, st, a)
+            if bool(term):
+                assert float(r) == 1.0 and bool(info["is_success"])
+                goals += 1
+                obs, st = env.reset(kr)
+        assert goals > 0
+
+    def test_registry_and_vectorized(self):
+        env = make_env("POMDP-hallway-episodic-v0")
+        keys = jax.random.split(jax.random.key(0), 8)
+        obs, states = env.reset_vec(keys)
+        assert obs.shape == (8, 1)
+        obs, states, ts = env.step_vec(
+            jax.random.split(jax.random.key(1), 8),
+            states,
+            jnp.ones((8,), jnp.int32),
+        )
+        assert ts.reward.shape == (8,)
+
+
+class TestParser:
+    def test_tiger_python(self):
+        p = parse_pomdp_text(open(TIGER).read())
+        assert p.discount == 0.95
+        assert p.states == ["tiger-left", "tiger-right"]
+        assert len(p.actions) == 3 and len(p.observations) == 2
+        np.testing.assert_allclose(p.start, [0.5, 0.5])
+        # listen keeps state (identity), open-* resets uniformly.
+        np.testing.assert_allclose(p.T[:, 0, :], np.eye(2))
+        np.testing.assert_allclose(p.T[:, 1, :], 0.5)
+        # listening observation accuracy 0.85.
+        np.testing.assert_allclose(p.O[0, 0], [0.85, 0.15])
+        np.testing.assert_allclose(p.O[0, 1], [0.15, 0.85])
+        # rewards
+        assert p.R[0, 0, 0] == -1.0
+        assert p.R[0, 1, 0] == -100.0 and p.R[1, 1, 0] == 10.0
+
+    def test_native_matches_python(self):
+        text = open(TIGER).read()
+        native = parse_pomdp_text_native(text)
+        if native is None:
+            pytest.skip("native parser not built (make -C native)")
+        py = parse_pomdp_text(text)
+        np.testing.assert_allclose(native.T, py.T, atol=1e-6)
+        np.testing.assert_allclose(native.O, py.O, atol=1e-6)
+        np.testing.assert_allclose(native.R, py.R, atol=1e-6)
+        np.testing.assert_allclose(native.start, py.start, atol=1e-6)
+        assert native.discount == py.discount
+
+    def test_cost_values_negate(self):
+        text = open(TIGER).read().replace("values: reward", "values: cost")
+        py = parse_pomdp_text(text)
+        assert py.R[0, 0, 0] == 1.0  # cost -1 -> reward +1... negated
+        native = parse_pomdp_text_native(text)
+        if native is not None:
+            np.testing.assert_allclose(native.R, py.R, atol=1e-6)
+
+    def test_make_env_from_file(self):
+        env = make_tabular_env(
+            parse_pomdp_file(TIGER), name="tiger-v0", max_episode_steps=20
+        )
+        obs, st = env.reset(jax.random.key(0))
+        obs, st, r, term, info = env.step_env(
+            jax.random.key(1), st, jnp.int32(0)
+        )
+        assert float(r) == -1.0 and not bool(term)
