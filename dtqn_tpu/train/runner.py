@@ -52,13 +52,39 @@ class HostRunningAverage:
         return list(self.q)
 
 
+def build_envs(config: ExperimentConfig):
+    """(train_env, eval_envs) for the configured domain list.
+
+    Multiple --envs sample a new domain per episode (run.py:287) via
+    MultiDomainEnv; Gridverse members of different sizes are padded to a
+    common static grid so their state pytrees unify.
+    """
+    names = config.envs
+    if len(names) == 1:
+        return make_env(names[0]), [make_env(names[0])]
+
+    if all(n.startswith("gv_") for n in names):
+        from dtqn_tpu.envs.gridverse import make_gridverse_env
+
+        sizes = [int(n.split(".")[1].split("x")[0]) for n in names]
+        pad = max(sizes)
+        members = [make_gridverse_env(n, pad_to=pad) for n in names]
+        evals = [make_gridverse_env(n, pad_to=pad) for n in names]
+    else:
+        members = [make_env(n) for n in names]
+        evals = [make_env(n) for n in names]
+
+    from dtqn_tpu.envs.multi import MultiDomainEnv
+
+    return MultiDomainEnv(members), evals
+
+
 def run_experiment(config: ExperimentConfig) -> dict:
     """Train per the config; returns final metrics for programmatic use."""
     start_time = time.time()
     set_attention_impl(config.attention)
 
-    env = make_env(config.envs[0])
-    eval_envs = [make_env(name) for name in config.envs]
+    env, eval_envs = build_envs(config)
     if config.max_episode_steps > 0:
         env.max_episode_steps = config.max_episode_steps
         for e in eval_envs:
