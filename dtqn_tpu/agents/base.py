@@ -145,6 +145,11 @@ class Agent:
         return self.network.init(key, obss, actions)
 
     def init_state(self, key: jax.Array) -> AgentState:
+        """Build the initial state under jit (eager init is ~30x slower on
+        a tunneled TPU: one dispatch per array op)."""
+        return jax.jit(self._init_state_impl)(key)
+
+    def _init_state_impl(self, key: jax.Array) -> AgentState:
         cfg, env = self.config, self.env
         key, k_params, k_env, k_ctx = jax.random.split(key, 4)
         params = self._init_params(k_params)

@@ -62,6 +62,7 @@ class ExperimentConfig:
     prepop_steps: int = 50_000  # run.py:495
     attention: str = "xla"  # "xla" | "pallas"
     dp_devices: int = 1  # data-parallel devices (mesh axis "dp")
+    profile_dir: str = ""  # jax.profiler trace output (empty = off)
 
     def agent_config(self) -> AgentConfig:
         return AgentConfig(
@@ -165,6 +166,9 @@ def get_args(argv=None) -> ExperimentConfig:
     p.add_argument("--attention", type=str, default=d.attention,
                    choices=["xla", "pallas"])
     p.add_argument("--dp-devices", type=int, default=d.dp_devices)
+    p.add_argument("--profile-dir", type=str, default=d.profile_dir,
+                   help="Write a jax.profiler trace of the first post-warmup "
+                        "chunk here (TensorBoard-viewable).")
 
     ns = p.parse_args(argv)
     fields = {f.name for f in dataclasses.fields(ExperimentConfig)}

@@ -41,16 +41,15 @@ class MultiHeadAttention(nn.Module):
     ) -> jax.Array:
         if self.features % self.num_heads:
             raise ValueError("features must divide num_heads")
-        head_dim = self.features // self.num_heads
 
-        def split_heads(x):
-            return x.reshape(*x.shape[:-1], self.num_heads, head_dim)
-
-        q = split_heads(make_dense(self.features, name="query")(q_in))
-        k = split_heads(make_dense(self.features, name="key")(k_in))
-        v = split_heads(make_dense(self.features, name="value")(v_in))
-        out = dot_product_attention(q, k, v, causal=causal)
-        out = out.reshape(*out.shape[:-2], self.features)
+        # Packed layout: attention consumes the Dense outputs directly
+        # ([B, L, H*D]); head slicing happens inside the attention backend.
+        q = make_dense(self.features, name="query")(q_in)
+        k = make_dense(self.features, name="key")(k_in)
+        v = make_dense(self.features, name="value")(v_in)
+        out = dot_product_attention(
+            q, k, v, num_heads=self.num_heads, causal=causal
+        )
         out = make_dense(self.features, name="out")(out)
         if self.dropout > 0.0:
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)

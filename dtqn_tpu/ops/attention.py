@@ -58,19 +58,30 @@ def dot_product_attention(
     k: jax.Array,
     v: jax.Array,
     *,
+    num_heads: int,
     causal: bool = False,
 ) -> jax.Array:
-    """Multi-head attention core with backend dispatch.
+    """Multi-head attention core with backend dispatch, packed layout.
 
     Args:
-      q: [B, Lq, H, D] queries.
-      k, v: [B, Lk, H, D] keys/values.
+      q: [B, Lq, E] queries (E = num_heads * head_dim, the QKV Dense
+        output layout — no head split/transpose needed around the call).
+      k, v: [B, Lk, E] keys/values.
       causal: apply a lower-triangular mask (self-attention over time).
 
-    Returns [B, Lq, H, D].
+    Returns [B, Lq, E].
     """
     if _IMPL == "pallas":
-        from dtqn_tpu.ops.pallas_attention import pallas_attention
+        from dtqn_tpu.ops.pallas_attention import pallas_attention_packed
 
-        return pallas_attention(q, k, v, causal=causal)
-    return _xla_attention(q, k, v, causal=causal)
+        return pallas_attention_packed(q, k, v, num_heads, causal)
+    b, lq, e = q.shape
+    lk = k.shape[1]
+    d = e // num_heads
+    out = _xla_attention(
+        q.reshape(b, lq, num_heads, d),
+        k.reshape(b, lk, num_heads, d),
+        v.reshape(b, lk, num_heads, d),
+        causal=causal,
+    )
+    return out.reshape(b, lq, e)

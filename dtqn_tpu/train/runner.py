@@ -169,7 +169,17 @@ def run_experiment(config: ExperimentConfig) -> dict:
 
     last_policy_save = int(state.env_steps)
     final_log = {}
+    profiled = False
     while int(state.env_steps) < config.num_steps:
+        if config.profile_dir and not profiled and int(state.env_steps) > 0:
+            # Trace one post-warmup chunk (compile excluded).
+            from dtqn_tpu.utils.profiling import trace_chunks
+
+            with trace_chunks(config.profile_dir):
+                state = train_chunk(state)
+                jax.block_until_ready(state.params)
+            profiled = True
+            continue
         state = train_chunk(state)
         step = int(state.env_steps)
         hours = (time.time() - start_time) / 3600

@@ -29,6 +29,27 @@ import jax
 from flax import serialization
 
 
+def _is_key(x) -> bool:
+    return hasattr(x, "dtype") and jax.dtypes.issubdtype(
+        x.dtype, jax.dtypes.prng_key
+    )
+
+
+def _unwrap_keys(tree):
+    """Typed PRNG keys aren't msgpack-serializable; store their raw data."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.random.key_data(x) if _is_key(x) else x, tree
+    )
+
+
+def _rewrap_keys(tree, template):
+    return jax.tree_util.tree_map(
+        lambda x, t: jax.random.wrap_key_data(x) if _is_key(t) else x,
+        tree,
+        template,
+    )
+
+
 def save_mini_checkpoint(path: str, step: int, wandb_id: Optional[str]) -> None:
     with open(path + "_mini_checkpoint.json", "w") as f:
         json.dump({"step": step, "wandb_id": wandb_id}, f)
@@ -50,7 +71,7 @@ def save_checkpoint(
 ) -> None:
     """Full checkpoint: AgentState pytree + host-side extras (eval running
     averages, epsilon is inside the state)."""
-    host_state = jax.device_get(state)
+    host_state = jax.device_get(_unwrap_keys(state))
     with open(path + "_checkpoint.msgpack", "wb") as f:
         f.write(serialization.to_bytes(host_state))
     with open(path + "_checkpoint_extra.json", "w") as f:
@@ -64,7 +85,10 @@ def has_checkpoint(path: str) -> bool:
 def load_checkpoint(path: str, template_state: Any) -> Tuple[Any, Dict[str, Any]]:
     """Restore a full checkpoint into the structure of ``template_state``."""
     with open(path + "_checkpoint.msgpack", "rb") as f:
-        state = serialization.from_bytes(template_state, f.read())
+        state = serialization.from_bytes(
+            _unwrap_keys(template_state), f.read()
+        )
+    state = _rewrap_keys(state, template_state)
     extra_path = path + "_checkpoint_extra.json"
     extra: Dict[str, Any] = {}
     if os.path.exists(extra_path):
