@@ -49,6 +49,15 @@ register("Memory-5-v0", lambda: MemoryCards(num_pairs=5, max_episode_steps=50))
 register("DiscreteCarFlag-v0", lambda: CarFlag())
 
 
+def _register_image_maze() -> None:
+    from dtqn_tpu.envs.image_maze import ImageMaze
+
+    register("ImageMaze-9-v0", lambda: ImageMaze(size=9))
+
+
+_register_image_maze()
+
+
 def _register_pomdps() -> None:
     from dtqn_tpu.envs.pomdp import make_hallway, make_heavenhell
 
