@@ -403,7 +403,7 @@ class Agent:
         )
         next_q = jnp.take_along_axis(
             next_q_target, next_act[..., None], axis=-1
-        )[..., 0]
+        )[..., 0].astype(jnp.float32)  # Bellman math stays f32 under bf16
         dones = batch.done.astype(jnp.float32)
         targets = batch.reward + (1.0 - dones) * cfg.gamma * next_q
 
@@ -415,7 +415,7 @@ class Agent:
             )
             q_taken = jnp.take_along_axis(
                 q_all, batch.action[..., None], axis=-1
-            )[..., 0]
+            )[..., 0].astype(jnp.float32)
             q_h = q_taken[:, -hist:]
             t_h = jax.lax.stop_gradient(targets[:, -hist:])
             loss = jnp.mean(jnp.square(q_h - t_h))

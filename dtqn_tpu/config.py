@@ -63,6 +63,7 @@ class ExperimentConfig:
     attention: str = "xla"  # "xla" | "pallas"
     dp_devices: int = 1  # data-parallel devices (mesh axis "dp")
     profile_dir: str = ""  # jax.profiler trace output (empty = off)
+    bf16: bool = False  # bfloat16 activations/matmuls (params stay f32)
 
     def agent_config(self) -> AgentConfig:
         return AgentConfig(
@@ -169,6 +170,8 @@ def get_args(argv=None) -> ExperimentConfig:
     p.add_argument("--profile-dir", type=str, default=d.profile_dir,
                    help="Write a jax.profiler trace of the first post-warmup "
                         "chunk here (TensorBoard-viewable).")
+    p.add_argument("--bf16", action="store_true",
+                   help="bfloat16 activations/matmuls (params stay float32).")
 
     ns = p.parse_args(argv)
     fields = {f.name for f in dataclasses.fields(ExperimentConfig)}

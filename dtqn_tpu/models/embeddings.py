@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from dtqn_tpu.models.init import embed_init, make_dense
+from dtqn_tpu.models.init import compute_dtype, embed_init, make_dense
 
 
 class DiscreteObsEmbedding(nn.Module):
@@ -39,6 +39,7 @@ class DiscreteObsEmbedding(nn.Module):
             self.vocab_size,
             self.embed_per_obs_dim,
             embedding_init=embed_init(),
+            dtype=compute_dtype(),
             param_dtype=jnp.float32,
         )(obs)
         flat = tok.reshape(*obs.shape[:-1], self.obs_dim * self.embed_per_obs_dim)
@@ -78,6 +79,7 @@ class ImageObsEmbedding(nn.Module):
                 strides=(stride, stride),
                 padding=1,
                 kernel_init=embed_init(),
+                dtype=compute_dtype(),
                 param_dtype=jnp.float32,
             )(x)
             x = nn.relu(x)
@@ -99,6 +101,7 @@ class ActionEmbedding(nn.Module):
             self.num_actions,
             self.action_dim,
             embedding_init=embed_init(),
+            dtype=compute_dtype(),
             param_dtype=jnp.float32,
         )(actions)
 

@@ -83,6 +83,10 @@ def run_experiment(config: ExperimentConfig) -> dict:
     """Train per the config; returns final metrics for programmatic use."""
     start_time = time.time()
     set_attention_impl(config.attention)
+    if config.bf16:
+        from dtqn_tpu.models.init import set_compute_dtype
+
+        set_compute_dtype("bfloat16")
 
     env, eval_envs = build_envs(config)
     if config.max_episode_steps > 0:
