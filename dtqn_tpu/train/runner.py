@@ -98,7 +98,9 @@ def run_experiment(config: ExperimentConfig) -> dict:
     # LinearAnneal(1.0, 0.1, num_steps/10) (run.py:420).
     eps = EpsilonSchedule(1.0, 0.1, max(config.num_steps // 10, 1))
 
-    state = agent.init_state(jax.random.key(config.seed))
+    from dtqn_tpu.utils.rng import seed_everything
+
+    state = agent.init_state(seed_everything(config.seed))
 
     os.makedirs(config.policy_dir(), exist_ok=True)
     policy_path = config.policy_path()
