@@ -157,12 +157,30 @@ def run_experiment(config: ExperimentConfig) -> dict:
 
     logger = get_logger(policy_path, config, wandb_kwargs)
 
-    train_chunk = make_train_chunk(
-        agent,
-        eps,
-        config.resolved_updates_per_iter,
-        config.resolved_iters_per_chunk,
-    )
+    if config.dp_devices > 1:
+        from dtqn_tpu.parallel.mesh import (
+            make_distributed_train_chunk,
+            make_mesh,
+            shard_state,
+        )
+
+        mesh = make_mesh(config.dp_devices)
+        state = shard_state(agent, state, mesh)
+        train_chunk = make_distributed_train_chunk(
+            agent,
+            eps,
+            config.resolved_updates_per_iter,
+            config.resolved_iters_per_chunk,
+            mesh,
+            state,
+        )
+    else:
+        train_chunk = make_train_chunk(
+            agent,
+            eps,
+            config.resolved_updates_per_iter,
+            config.resolved_iters_per_chunk,
+        )
     evaluators = [
         make_evaluate(agent, e, config.eval_episodes) for e in eval_envs
     ]
