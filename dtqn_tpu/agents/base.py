@@ -211,19 +211,31 @@ class Agent:
         )
 
     # ------------------------------------------------------------- forwards
-    def _q_context(self, params, obs_seq, act_seq, bag, ep_len=None):
-        """Seq-to-seq Q over [B, L] windows; returns [B, L, A]."""
+    def _q_context(
+        self, params, obs_seq, act_seq, bag, ep_len=None, dropout_key=None
+    ):
+        """Seq-to-seq Q over [B, L] windows; returns [B, L, A].
+
+        ``dropout_key`` enables stochastic dropout — the training-mode
+        forward (the reference's eval_off/net.train(), dqn.py:113-115);
+        acting and target evaluation stay deterministic.
+        """
         cfg = self.config
+        kwargs = {}
+        if dropout_key is not None and cfg.dropout > 0.0:
+            kwargs = dict(
+                deterministic=False, rngs={"dropout": dropout_key}
+            )
         if cfg.kind == "transformer":
             if self.use_bag:
                 return self.network.apply(
-                    params, obs_seq, act_seq, bag[0], bag[1]
+                    params, obs_seq, act_seq, bag[0], bag[1], **kwargs
                 )
-            return self.network.apply(params, obs_seq, act_seq)
+            return self.network.apply(params, obs_seq, act_seq, **kwargs)
         if cfg.kind == "feedforward":
-            return self.network.apply(params, obs_seq)
+            return self.network.apply(params, obs_seq, **kwargs)
         q, _ = self.network.apply(
-            params, obs_seq, act_seq, episode_lengths=ep_len
+            params, obs_seq, act_seq, episode_lengths=ep_len, **kwargs
         )
         return q
 
@@ -378,6 +390,7 @@ class Agent:
         """One gated DDQN gradient step (dtqn.py:162-269, dqn.py:142-206)."""
         cfg = self.config
         ok = replay.can_sample(state.buffer, cfg.batch_size)
+        key, k_drop = jax.random.split(key)
 
         if self.use_bag:
             batch = replay.sample_with_bag(
@@ -411,7 +424,8 @@ class Agent:
 
         def loss_fn(params):
             q_all = self._q_context(
-                params, batch.obs, batch.action, bag_in, batch.ep_len
+                params, batch.obs, batch.action, bag_in, batch.ep_len,
+                dropout_key=k_drop,
             )
             q_taken = jnp.take_along_axis(
                 q_all, batch.action[..., None], axis=-1
