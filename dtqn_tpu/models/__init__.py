@@ -77,10 +77,44 @@ def build_network(
     return DARQN(action_dim=0, **common)
 
 
+def attention_weights(network: nn.Module, params, *args, **kwargs):
+    """Per-layer head-averaged attention maps for visualization.
+
+    The functional equivalent of reading the reference's ``layer.alpha``
+    after a forward pass (`/root/reference/dtqn/networks/transformer.py:
+    46,64-69`).  Returns (q_values, [maps]) where each map is [B, Lq, Lk],
+    sorted by module path — DTQN-bag's cross-attention map ("bag_attention")
+    first, then "layer_0" ... "layer_{n-1}".
+    """
+    q, inter = network.apply(
+        params, *args, mutable=["intermediates"], **kwargs
+    )
+    maps = [
+        leaf[0]
+        for path, leaf in sorted(
+            _flatten_intermediates(inter["intermediates"]).items()
+        )
+        if path.endswith("attention_weights")
+    ]
+    return q, maps
+
+
+def _flatten_intermediates(tree, prefix=""):
+    flat = {}
+    for key, val in tree.items():
+        path = f"{prefix}/{key}" if prefix else key
+        if isinstance(val, dict):
+            flat.update(_flatten_intermediates(val, path))
+        else:
+            flat[path] = val
+    return flat
+
+
 __all__ = [
     "MODEL_MAP",
     "RECURRENT_MODELS",
     "build_network",
+    "attention_weights",
     "DTQN",
     "DQN",
     "DRQN",

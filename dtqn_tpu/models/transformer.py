@@ -19,7 +19,7 @@ from flax import linen as nn
 
 from dtqn_tpu.models.gates import make_gate
 from dtqn_tpu.models.init import make_dense
-from dtqn_tpu.ops.attention import dot_product_attention
+from dtqn_tpu.ops.attention import attention_probs, dot_product_attention
 
 
 class MultiHeadAttention(nn.Module):
@@ -50,6 +50,18 @@ class MultiHeadAttention(nn.Module):
         out = dot_product_attention(
             q, k, v, num_heads=self.num_heads, causal=causal
         )
+        if self.is_mutable_collection("intermediates"):
+            # Head-averaged attention weights for visualization — the
+            # reference's self.alpha (transformer.py:46,64-69,
+            # average_attn_weights=True).  Only computed when the caller
+            # requests mutable=["intermediates"]; costs nothing otherwise.
+            self.sow(
+                "intermediates",
+                "attention_weights",
+                attention_probs(
+                    q, k, num_heads=self.num_heads, causal=causal
+                ).mean(axis=1),
+            )
         out = make_dense(self.features, name="out")(out)
         if self.dropout > 0.0:
             out = nn.Dropout(self.dropout)(out, deterministic=deterministic)

@@ -53,6 +53,32 @@ def _xla_attention(
     return jnp.einsum("bhlm,bmhd->blhd", weights, v)
 
 
+def attention_probs(
+    q: jax.Array,
+    k: jax.Array,
+    *,
+    num_heads: int,
+    causal: bool = False,
+) -> jax.Array:
+    """Softmax attention probabilities [B, H, Lq, Lk] on packed inputs.
+
+    Visualization-only path (the reference's ``self.alpha``,
+    `/root/reference/dtqn/networks/transformer.py:64-69`) — always XLA;
+    the fused Pallas kernel never materializes the score matrix in HBM.
+    """
+    b, lq, e = q.shape
+    lk = k.shape[1]
+    d = e // num_heads
+    qh = q.reshape(b, lq, num_heads, d)
+    kh = k.reshape(b, lk, num_heads, d)
+    scale = 1.0 / jnp.sqrt(jnp.asarray(d, q.dtype))
+    scores = jnp.einsum("blhd,bmhd->bhlm", qh, kh) * scale
+    if causal:
+        mask = jnp.tril(jnp.ones((lq, lk), bool), k=lk - lq)
+        scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+    return jax.nn.softmax(scores, axis=-1)
+
+
 def dot_product_attention(
     q: jax.Array,
     k: jax.Array,

@@ -156,6 +156,9 @@ def run_experiment(config: ExperimentConfig) -> dict:
         state = make_prepopulate(agent, prepop_iters)(state)
 
     logger = get_logger(policy_path, config, wandb_kwargs)
+    # wandb run id rides the mini checkpoint so resume can reattach with
+    # resume="must" (run.py:482-490, 527); None under CSV logging.
+    wandb_id = getattr(getattr(logger, "run", None), "id", None)
 
     if config.dp_devices > 1:
         from dtqn_tpu.parallel.mesh import (
@@ -261,11 +264,11 @@ def run_experiment(config: ExperimentConfig) -> dict:
                     "mean_episode_length": mean_episode_length.to_list(),
                 },
             )
-            ckpt.save_mini_checkpoint(policy_path, step, None)
+            ckpt.save_mini_checkpoint(policy_path, step, wandb_id)
             return final_log
 
     # Completion sentinel (run.py:527-529).
-    ckpt.save_mini_checkpoint(policy_path, int(state.env_steps), None)
+    ckpt.save_mini_checkpoint(policy_path, int(state.env_steps), wandb_id)
     if config.save_policy:
         ckpt.save_policy(policy_path, state.params)
     return final_log

@@ -226,3 +226,51 @@ def test_build_network_registry():
         build_network("NOPE", env)
     net = build_network("DTQN-bag", env, bag_size=4, inner_embed=32)
     assert net.bag_size == 4
+
+
+class TestAttentionWeights:
+    """Visualization parity with the reference's layer.alpha
+    (transformer.py:46,64-69, average_attn_weights=True)."""
+
+    def test_maps_shape_causality_and_normalization(self):
+        from dtqn_tpu.models import attention_weights
+
+        net = make_dtqn()
+        obss = jax.random.normal(jax.random.key(1), (B, L, OBS))
+        actions = jnp.zeros((B, L), jnp.int32)
+        params = net.init(jax.random.key(0), obss, actions)
+        q, maps = attention_weights(net, params, obss, actions)
+        assert q.shape == (B, L, ACTS)
+        assert len(maps) == 2  # one per transformer layer
+        for m in maps:
+            assert m.shape == (B, L, L)
+            np.testing.assert_allclose(m.sum(-1), 1.0, rtol=1e-5)
+            # causal: no mass above the diagonal
+            upper = jnp.triu(jnp.ones((L, L), bool), k=1)
+            assert float(jnp.abs(jnp.where(upper, m, 0.0)).max()) < 1e-6
+
+    def test_bag_map_included_and_unmasked(self):
+        from dtqn_tpu.models import attention_weights
+
+        bag = 5
+        net = make_dtqn(bag_size=bag)
+        obss = jax.random.normal(jax.random.key(1), (B, L, OBS))
+        actions = jnp.zeros((B, L), jnp.int32)
+        bag_o = jax.random.normal(jax.random.key(2), (B, bag, OBS))
+        bag_a = jnp.zeros((B, bag), jnp.int32)
+        params = net.init(jax.random.key(0), obss, actions, bag_o, bag_a)
+        _, maps = attention_weights(net, params, obss, actions, bag_o, bag_a)
+        assert len(maps) == 3  # bag cross-attention first (path-sorted)
+        assert maps[0].shape == (B, L, bag)
+        np.testing.assert_allclose(maps[0].sum(-1), 1.0, rtol=1e-5)
+
+    def test_plain_apply_unchanged(self):
+        """Sowing must not alter the default apply path."""
+        net = make_dtqn()
+        obss = jax.random.normal(jax.random.key(1), (B, L, OBS))
+        actions = jnp.zeros((B, L), jnp.int32)
+        params, q = init_and_apply(net, obss, actions)
+        from dtqn_tpu.models import attention_weights
+
+        q2, _ = attention_weights(net, params, obss, actions)
+        np.testing.assert_allclose(np.asarray(q), np.asarray(q2), rtol=1e-6)
