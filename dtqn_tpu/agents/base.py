@@ -405,15 +405,19 @@ class Agent:
             bag_in = None
 
         # DDQN target: policy net argmax, target net value (dtqn.py:221-238).
-        next_q_policy = self._q_context(
-            state.params, batch.next_obs, batch.next_action, bag_in,
-            batch.ep_len,
+        # Policy and target params share a structure, so both no-grad
+        # forwards run as ONE vmapped call over stacked params — a single
+        # 2B-batch matmul chain on the MXU instead of two B-batch chains.
+        stacked = jax.tree_util.tree_map(
+            lambda p, t: jnp.stack([p, t]), state.params, state.target_params
         )
+        next_q_both = jax.vmap(
+            lambda p: self._q_context(
+                p, batch.next_obs, batch.next_action, bag_in, batch.ep_len
+            )
+        )(stacked)
+        next_q_policy, next_q_target = next_q_both[0], next_q_both[1]
         next_act = jnp.argmax(next_q_policy, axis=-1)
-        next_q_target = self._q_context(
-            state.target_params, batch.next_obs, batch.next_action, bag_in,
-            batch.ep_len,
-        )
         next_q = jnp.take_along_axis(
             next_q_target, next_act[..., None], axis=-1
         )[..., 0].astype(jnp.float32)  # Bellman math stays f32 under bf16
