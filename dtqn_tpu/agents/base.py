@@ -122,9 +122,15 @@ class Agent:
             pos=config.pos,
             bag_size=config.bag_size,
         )
-        self.tx = optax.chain(
-            optax.clip_by_global_norm(config.grad_norm_clip),
-            optax.adam(config.learning_rate),
+        # optax.flatten ravels the ~20-leaf param tree into one contiguous
+        # vector so clip+Adam run as a handful of fused kernels instead of
+        # 3 micro-kernels per leaf — the train step is latency-bound on its
+        # sequential op chain at DTQN sizes (~100k params).
+        self.tx = optax.flatten(
+            optax.chain(
+                optax.clip_by_global_norm(config.grad_norm_clip),
+                optax.adam(config.learning_rate),
+            )
         )
         self.use_bag = "DTQN" in config.model and config.bag_size > 0
 

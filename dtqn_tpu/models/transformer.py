@@ -44,9 +44,18 @@ class MultiHeadAttention(nn.Module):
 
         # Packed layout: attention consumes the Dense outputs directly
         # ([B, L, H*D]); head slicing happens inside the attention backend.
-        q = make_dense(self.features, name="query")(q_in)
-        k = make_dense(self.features, name="key")(k_in)
-        v = make_dense(self.features, name="value")(v_in)
+        # Self-attention (q_in is k_in is v_in, detected statically at
+        # trace time) fuses the three projections into ONE [F, 3F] matmul:
+        # the train step is latency-bound on its sequential op chain at DTQN
+        # shapes, and a fused kernel is mathematically identical to three
+        # separate ones (concatenated columns, same N(0, 0.02) init).
+        if q_in is k_in and k_in is v_in:
+            qkv = make_dense(3 * self.features, name="qkv")(q_in)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = make_dense(self.features, name="query")(q_in)
+            k = make_dense(self.features, name="key")(k_in)
+            v = make_dense(self.features, name="value")(v_in)
         out = dot_product_attention(
             q, k, v, num_heads=self.num_heads, causal=causal
         )

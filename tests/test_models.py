@@ -128,10 +128,10 @@ class TestDTQN:
         net = make_dtqn(inner_embed=128)
         obss = jnp.zeros((B, L, OBS))
         params = net.init(jax.random.key(0), obss)
-        kernel = params["params"]["layer_0"]["attention"]["query"]["kernel"]
+        kernel = params["params"]["layer_0"]["attention"]["qkv"]["kernel"]
         std = float(jnp.std(kernel))
         assert 0.015 < std < 0.025
-        bias = params["params"]["layer_0"]["attention"]["query"]["bias"]
+        bias = params["params"]["layer_0"]["attention"]["qkv"]["bias"]
         assert float(jnp.abs(bias).max()) == 0.0
 
     def test_gru_gate_bias(self):
