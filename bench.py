@@ -38,6 +38,10 @@ def sync(state):
 
 
 def main():
+    from dtqn_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
+
     from dtqn_tpu.agents import Agent, AgentConfig
     from dtqn_tpu.envs import make_env
     from dtqn_tpu.train.loop import make_prepopulate, make_train_chunk

@@ -82,6 +82,9 @@ def build_envs(config: ExperimentConfig):
 def run_experiment(config: ExperimentConfig) -> dict:
     """Train per the config; returns final metrics for programmatic use."""
     start_time = time.time()
+    from dtqn_tpu.utils import enable_persistent_compilation_cache
+
+    enable_persistent_compilation_cache()
     set_attention_impl(config.attention)
     if config.bf16:
         from dtqn_tpu.models.init import set_compute_dtype
