@@ -21,7 +21,7 @@ The C++ implementation (``native/pomdp_parser.cc``) parses the same grammar
 into the same arrays ~20x faster for large files (hallway2-scale); it is
 loaded via ctypes when the shared library is built (``make -C native``),
 with this Python path as the always-available fallback.  A differential
-test (tests/test_pomdp_parser.py) keeps both in lockstep.
+test (tests/test_pomdp.py) keeps both in lockstep.
 """
 
 from __future__ import annotations

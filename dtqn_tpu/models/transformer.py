@@ -56,9 +56,24 @@ class MultiHeadAttention(nn.Module):
             q = make_dense(self.features, name="query")(q_in)
             k = make_dense(self.features, name="key")(k_in)
             v = make_dense(self.features, name="value")(v_in)
-        out = dot_product_attention(
-            q, k, v, num_heads=self.num_heads, causal=causal
-        )
+        if self.dropout > 0.0 and not deterministic:
+            # Parity: torch's nn.MultiheadAttention applies dropout to the
+            # softmax attention PROBABILITIES (transformer.py:30-36), not to
+            # the output.  This stochastic path materializes the probs; the
+            # deterministic (acting/target/dropout=0) path below never does.
+            b, lq, e = q.shape
+            lk, d = k.shape[1], q.shape[-1] // self.num_heads
+            probs = attention_probs(
+                q, k, num_heads=self.num_heads, causal=causal
+            )
+            probs = nn.Dropout(self.dropout)(probs, deterministic=False)
+            out = jnp.einsum(
+                "bhlm,bmhd->blhd", probs, v.reshape(b, lk, self.num_heads, d)
+            ).reshape(b, lq, e)
+        else:
+            out = dot_product_attention(
+                q, k, v, num_heads=self.num_heads, causal=causal
+            )
         if self.is_mutable_collection("intermediates"):
             # Head-averaged attention weights for visualization — the
             # reference's self.alpha (transformer.py:46,64-69,
@@ -71,10 +86,7 @@ class MultiHeadAttention(nn.Module):
                     q, k, num_heads=self.num_heads, causal=causal
                 ).mean(axis=1),
             )
-        out = make_dense(self.features, name="out")(out)
-        if self.dropout > 0.0:
-            out = nn.Dropout(self.dropout)(out, deterministic=deterministic)
-        return out
+        return make_dense(self.features, name="out")(out)
 
 
 class FeedForward(nn.Module):

@@ -225,9 +225,14 @@ def run_experiment(config: ExperimentConfig) -> dict:
             **{k: float(v) for k, v in state.diagnostics.means().items()},
             "losses/hours": hours,
         }
-        for name, evaluate in zip(config.envs, evaluators):
-            state = state.replace(key=jax.random.split(state.key)[0])
-            sr, ret, ln = evaluate(state.params, state.key)
+        # Dedicated eval key branch: the key kept for the next train chunk
+        # and the keys consumed by evaluation must be independent draws.
+        next_key, eval_key = jax.random.split(state.key)
+        state = state.replace(key=next_key)
+        for i, (name, evaluate) in enumerate(zip(config.envs, evaluators)):
+            sr, ret, ln = evaluate(
+                state.params, jax.random.fold_in(eval_key, i)
+            )
             log_vals[f"{name}/SuccessRate"] = float(sr)
             log_vals[f"{name}/Return"] = float(ret)
             log_vals[f"{name}/EpisodeLength"] = float(ln)

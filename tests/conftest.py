@@ -20,7 +20,10 @@ import jax  # noqa: E402
 # backend initialization) or every eager op round-trips the TPU tunnel.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")
+
 # This host has 2 cores; XLA CPU compiles of scanned train loops are the
 # dominant test cost. The persistent cache makes reruns near-instant.
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# Single source of truth for the cache path lives in dtqn_tpu.utils.
+from dtqn_tpu.utils import enable_persistent_compilation_cache  # noqa: E402
+
+enable_persistent_compilation_cache()
