@@ -42,6 +42,9 @@ class ExperimentConfig:
     in_embed: int = 128
     max_episode_steps: int = -1
     seed: int = 1
+    # Multi-seed sweep: vmapped simultaneous training of all listed seeds
+    # on one chip (train/sweep.py); empty = single-seed run with --seed.
+    seeds: List[int] = dataclasses.field(default_factory=list)
     save_policy: bool = False
     verbose: bool = False
     render: bool = False
@@ -99,10 +102,15 @@ class ExperimentConfig:
         # One chunk per eval period, in units of vector iterations.
         return max(self.eval_frequency // self.num_envs, 1)
 
+    def _env_names(self) -> List[str]:
+        """Env names safe for file paths (``--envs foo/bar.pomdp`` is a
+        path; flatten separators so run names/policy dirs stay flat)."""
+        return [n.replace(os.sep, "_") for n in self.envs]
+
     def run_name(self) -> str:
         """13-field config-encoded run name (run.py:456-460)."""
         return (
-            f"model={self.model}_envs={','.join(self.envs)}"
+            f"model={self.model}_envs={','.join(self._env_names())}"
             f"_obs_embed={self.obs_embed}_a_embed={self.a_embed}"
             f"_in_embed={self.in_embed}_context={self.context}"
             f"_heads={self.heads}_layers={self.layers}_batch={self.batch}"
@@ -113,7 +121,9 @@ class ExperimentConfig:
 
     def policy_dir(self, root: Optional[str] = None) -> str:
         root = root or os.getcwd()
-        return os.path.join(root, "policies", self.project_name, *self.envs)
+        return os.path.join(
+            root, "policies", self.project_name, *self._env_names()
+        )
 
     def policy_path(self, root: Optional[str] = None) -> str:
         return os.path.join(self.policy_dir(root), self.run_name())
@@ -146,6 +156,9 @@ def get_args(argv=None) -> ExperimentConfig:
     p.add_argument("--in-embed", type=int, default=d.in_embed)
     p.add_argument("--max-episode-steps", type=int, default=d.max_episode_steps)
     p.add_argument("--seed", type=int, default=d.seed)
+    p.add_argument("--seeds", type=int, nargs="+", default=list(d.seeds),
+                   help="Train these seeds simultaneously (vmapped on one "
+                        "chip); replaces N separate --seed runs.")
     p.add_argument("--save-policy", action="store_true")
     p.add_argument("--verbose", action="store_true")
     p.add_argument("--render", action="store_true")

@@ -25,10 +25,30 @@ def make_env(name: str) -> Environment:
 
     Gridverse YAML names (``gv_*.yaml``) resolve to the JAX Gridverse memory
     engine, mirroring the reference's YAML fallback path
-    (utils/env_processing.py:34-54).
+    (utils/env_processing.py:34-54).  Paths ending in ``.pomdp`` load the
+    Cassandra file into a ``TabularPOMDP`` — the reference reaches arbitrary
+    classic POMDPs through gym-pomdps + rl-parsers
+    (`/root/reference/README.md:102-103`); here the in-tree parser
+    (``envs/pomdp_parser.py``, native C++ fast path) serves the same role.
     """
     if name in _REGISTRY:
         return _REGISTRY[name]()
+    if name.endswith(".pomdp"):
+        import os
+
+        if not os.path.exists(name):
+            raise FileNotFoundError(f"POMDP file not found: {name!r}")
+        from dtqn_tpu.envs.pomdp_parser import (
+            make_tabular_env,
+            parse_pomdp_file,
+        )
+
+        base = os.path.splitext(os.path.basename(name))[0]
+        return make_tabular_env(
+            parse_pomdp_file(name),
+            name=f"POMDP-{base}-episodic-v0",
+            max_episode_steps=100,
+        )
     if name.startswith("gv_"):
         from dtqn_tpu.envs.gridverse import make_gridverse_env
 
@@ -58,10 +78,34 @@ def _register_image_maze() -> None:
 _register_image_maze()
 
 
-def _register_pomdps() -> None:
-    from dtqn_tpu.envs.pomdp import make_hallway, make_heavenhell
+def _make_hallway_env() -> Environment:
+    """Hallway: load the real Cassandra tables when a ``hallway.pomdp``
+    file is available (``DTQN_TPU_POMDP_DIR`` or the working directory),
+    else fall back to the in-tree reconstruction (envs/pomdp.py)."""
+    import os
 
-    register("POMDP-hallway-episodic-v0", make_hallway)
+    for d in (os.environ.get("DTQN_TPU_POMDP_DIR", ""), os.getcwd()):
+        path = os.path.join(d, "hallway.pomdp") if d else ""
+        if path and os.path.exists(path):
+            from dtqn_tpu.envs.pomdp_parser import (
+                make_tabular_env,
+                parse_pomdp_file,
+            )
+
+            return make_tabular_env(
+                parse_pomdp_file(path),
+                name="POMDP-hallway-episodic-v0",
+                max_episode_steps=100,
+            )
+    from dtqn_tpu.envs.pomdp import make_hallway
+
+    return make_hallway()
+
+
+def _register_pomdps() -> None:
+    from dtqn_tpu.envs.pomdp import make_heavenhell
+
+    register("POMDP-hallway-episodic-v0", _make_hallway_env)
     register("POMDP-heavenhell_3-episodic-v0", lambda: make_heavenhell(3))
 
 

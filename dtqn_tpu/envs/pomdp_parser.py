@@ -319,19 +319,44 @@ def parse_pomdp_file(path: str, prefer_native: bool = True) -> ParsedPOMDP:
     return parse_pomdp_text(text)
 
 
+def absorbing_states(parsed: ParsedPOMDP) -> np.ndarray:
+    """Detect absorbing zero-reward states -> episodic terminal flags.
+
+    The Cassandra format has no explicit terminal marker; gym-pomdps'
+    "-episodic" variants derive done-ness from reset/absorbing structure.
+    A state is treated as terminal when every action self-loops with
+    probability 1 and yields zero reward (nothing further can happen).
+    Continuing domains (e.g. tiger) have none; episodes then end by
+    TimeLimit, matching the reference's gym TimeLimit wrapper.
+    """
+    S = len(parsed.states)
+    self_loop = np.array(
+        [all(parsed.T[s, a, s] >= 1.0 - 1e-9 for a in range(len(parsed.actions)))
+         for s in range(S)]
+    )
+    no_reward = np.abs(parsed.R).sum(axis=(1, 2)) < 1e-12
+    return self_loop & no_reward
+
+
 def make_tabular_env(
     parsed: ParsedPOMDP,
     *,
     name: str = "POMDP-file-v0",
     max_episode_steps: int = 100,
-    terminal_states: Sequence[int] = (),
+    terminal_states: Optional[Sequence[int]] = None,
 ):
-    """Wrap a parsed POMDP as a TabularPOMDP environment."""
+    """Wrap a parsed POMDP as a TabularPOMDP environment.
+
+    ``terminal_states=None`` auto-detects absorbing zero-reward states.
+    """
     from dtqn_tpu.envs.pomdp import TabularPOMDP
 
-    terminal = np.zeros((len(parsed.states),), bool)
-    for s in terminal_states:
-        terminal[s] = True
+    if terminal_states is None:
+        terminal = absorbing_states(parsed)
+    else:
+        terminal = np.zeros((len(parsed.states),), bool)
+        for s in terminal_states:
+            terminal[s] = True
     init_obs = parsed.O[0]
     return TabularPOMDP(
         name=name,

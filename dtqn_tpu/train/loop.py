@@ -30,10 +30,20 @@ from dtqn_tpu.utils.epsilon import EpsilonSchedule
 
 
 def env_step(
-    agent: Agent, state: AgentState, key: jax.Array, random_only: bool = False
+    agent: Agent,
+    state: AgentState,
+    key: jax.Array,
+    random_only: bool = False,
+    count_steps: bool = True,
 ) -> AgentState:
     """One vectorized env step: act, step, observe, reset bookkeeping
-    (run.py:356-377 + 293-296)."""
+    (run.py:356-377 + 293-296).
+
+    ``count_steps=False`` leaves ``env_steps`` untouched: prepopulation
+    stores experience without consuming training budget (the reference's
+    50k random steps precede, not count into, the 2M-step loop,
+    run.py:290,380-405).
+    """
     cfg = agent.config
     k_act, k_env, k_reset = jax.random.split(key, 3)
 
@@ -55,6 +65,8 @@ def env_step(
     # ts.obs is the TRUE next observation (pre-auto-reset).
     state = agent.observe(state, actions, ts.obs, ts.reward, ts.terminated)
     state = agent.handle_resets(state, k_reset, ts.done, obs)
+    if not count_steps:
+        return state
     return state.replace(env_steps=state.env_steps + cfg.num_envs)
 
 
@@ -110,15 +122,17 @@ def make_train_chunk(
     return jax.jit(fn, donate_argnums=(0,))
 
 
-def make_prepopulate(agent: Agent, iters: int):
-    """Random-action buffer prepopulation (run.py:380-405, 50k steps)."""
+def make_prepopulate_fn(agent: Agent, iters: int):
+    """Un-jitted prepopulation body (vmapped by the multi-seed sweep)."""
 
     def prepop_iter(state: AgentState, _) -> Tuple[AgentState, None]:
         key, k_step = jax.random.split(state.key)
         state = state.replace(key=key)
-        return env_step(agent, state, k_step, random_only=True), None
+        state = env_step(
+            agent, state, k_step, random_only=True, count_steps=False
+        )
+        return state, None
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
     def prepopulate(state: AgentState) -> AgentState:
         state, _ = jax.lax.scan(prepop_iter, state, None, length=iters)
         return state
@@ -126,10 +140,16 @@ def make_prepopulate(agent: Agent, iters: int):
     return prepopulate
 
 
-def make_evaluate(agent: Agent, eval_env: Environment, eval_episodes: int):
-    """Greedy-policy evaluation: ``eval_episodes`` parallel episodes
-    (run.py:187-243).  Returns jitted fn(params, key) ->
-    (success_rate, mean_return, mean_ep_len)."""
+def make_prepopulate(agent: Agent, iters: int):
+    """Random-action buffer prepopulation (run.py:380-405, 50k steps)."""
+    return jax.jit(
+        make_prepopulate_fn(agent, iters), donate_argnums=(0,)
+    )
+
+
+def make_evaluate_fn(agent: Agent, eval_env: Environment, eval_episodes: int):
+    """Un-jitted evaluation body: fn(params, key) ->
+    (success_rate, mean_return, mean_ep_len).  Vmapped by the sweep."""
     cfg = agent.config
     n = eval_episodes
     max_steps = eval_env.max_episode_steps
@@ -234,4 +254,11 @@ def make_evaluate(agent: Agent, eval_env: Environment, eval_episodes: int):
             c["ep_len"].sum() / episodes,
         )
 
-    return jax.jit(evaluate)
+    return evaluate
+
+
+def make_evaluate(agent: Agent, eval_env: Environment, eval_episodes: int):
+    """Greedy-policy evaluation: ``eval_episodes`` parallel episodes
+    (run.py:187-243).  Returns jitted fn(params, key) ->
+    (success_rate, mean_return, mean_ep_len)."""
+    return jax.jit(make_evaluate_fn(agent, eval_env, eval_episodes))

@@ -3,14 +3,27 @@
 
 Flag-compatible with the reference CLI (`/root/reference/run.py:16-184`),
 plus TPU execution knobs (--num-envs, --updates-per-iter, --attention,
---dp-devices).  Example:
+--dp-devices, --seeds).  Examples:
 
     python run.py --envs DiscreteCarFlag-v0 --num-steps 50000 \
         --in-embed 64 --disable-wandb --verbose
+
+    # The reference's 5-seed protocol (README.md:124-125), one chip:
+    python run.py --envs DiscreteCarFlag-v0 --in-embed 64 \
+        --seeds 1 2 3 4 5 --disable-wandb --verbose
 """
 
 from dtqn_tpu.config import get_args
-from dtqn_tpu.train.runner import run_experiment
 
 if __name__ == "__main__":
-    run_experiment(get_args())
+    config = get_args()
+    if len(config.seeds) > 1:
+        from dtqn_tpu.train.sweep import run_sweep
+
+        run_sweep(config, config.seeds)
+    else:
+        from dtqn_tpu.train.runner import run_experiment
+
+        if config.seeds:
+            config.seed = config.seeds[0]
+        run_experiment(config)

@@ -125,9 +125,10 @@ class TestTrainLoop:
         stored = int(state.buffer.ep_len.sum())
         # All stored steps are accounted: completed rows + in-progress rows.
         assert stored >= 150
-        # Discrete done flags only at termination; CarFlag random policy
-        # mostly truncates, so dones in valid rows are sparse.
-        assert int(state.env_steps) == 200
+        # Prepopulation stores experience without consuming training
+        # budget (the reference's 50k random steps precede the 2M loop,
+        # run.py:290,380-405).
+        assert int(state.env_steps) == 0
 
     def test_memory_env_discrete_pipeline(self):
         cfg = small_config(batch_size=4, context_len=8, history=4)
