@@ -150,16 +150,32 @@ class Agent:
             return self.network.init(key, obss[:, :1])
         return self.network.init(key, obss, actions)
 
-    def init_state(self, key: jax.Array) -> AgentState:
+    def init_state(
+        self, key: jax.Array, external_obs: Optional[jax.Array] = None
+    ) -> AgentState:
         """Build the initial state under jit (eager init is ~30x slower on
-        a tunneled TPU: one dispatch per array op)."""
-        return jax.jit(self._init_state_impl)(key)
+        a tunneled TPU: one dispatch per array op).
 
-    def _init_state_impl(self, key: jax.Array) -> AgentState:
+        ``external_obs`` supports HOST environments (train/host_loop.py):
+        the caller supplies the reset observations and ``env_state`` stays
+        None (the env's state lives host-side).
+        """
+        if external_obs is None:
+            return jax.jit(self._init_state_impl)(key)
+        return jax.jit(self._init_state_impl)(key, jnp.asarray(external_obs))
+
+    def _init_state_impl(
+        self, key: jax.Array, external_obs: Optional[jax.Array] = None
+    ) -> AgentState:
         cfg, env = self.config, self.env
         key, k_params, k_env, k_ctx = jax.random.split(key, 4)
         params = self._init_params(k_params)
-        obs, env_state = env.reset_vec(jax.random.split(k_env, cfg.num_envs))
+        if external_obs is None:
+            obs, env_state = env.reset_vec(
+                jax.random.split(k_env, cfg.num_envs)
+            )
+        else:
+            obs, env_state = external_obs, None
         context = replay.init_context(
             k_ctx,
             cfg.num_envs,

@@ -4,11 +4,11 @@ The reference registers 18 MiniHack variants (`/root/reference/envs/
 __init__.py:53-211`) through ``MiniHackWrapper`` (`envs/mini_hack.py`):
 glyph mode flattens the ``glyphs_crop`` window into a MultiDiscrete vector,
 pixel mode reshapes ``pixel_crop`` HWC -> CHW uint8.  MiniHack is a C-backed
-external dependency (NetHack); it cannot be a pure JAX function, so this
-adapter runs it host-side behind ``jax.pure_callback``-free stepping: the
-training loop needs pure device functions, so MiniHack domains are exposed
-through the HOST-LOOP runner path only (see ``HostEnvironment``), matching
-the reference's single-env stepping for these domains.
+external dependency (NetHack); it cannot be a pure JAX function, so these
+domains run through the HOST-LOOP runner path (``train/host_loop.py``):
+host envs step between device calls while acting/replay/learning stay
+jitted on device.  ``run.py --envs MH-Room-5-v0`` dispatches there
+automatically.
 
 When ``minihack`` is not installed, construction raises with the same
 guidance the reference prints (envs/__init__.py:20-24).  The in-repo pixel
@@ -17,9 +17,12 @@ domain ``ImageMaze`` covers the image pipeline natively.
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Any, Dict, Tuple
 
 import numpy as np
+
+from dtqn_tpu.envs.core import ObsKind
+from dtqn_tpu.envs.host import HostEnvironment
 
 MH_SPECS = {
     # name -> (minihack env id, obs_type, obs_crop, max_episode_steps)
@@ -53,11 +56,12 @@ def minihack_available() -> bool:
         return False
 
 
-class HostMiniHack:
+class HostMiniHack(HostEnvironment):
     """Host-side MiniHack env with the reference wrapper's obs conventions.
 
-    Not a pure-function Environment: step/reset run NetHack C code on the
-    host.  Usable for evaluation or host-loop data collection.
+    glyph mode: flattened crop window, MultiDiscrete-style tokens, mask =
+    max glyph + 1 (env_processing.py:108-116); pixel mode: CHW uint8, mask
+    0.  Steps NetHack C code on the host; trained via the host-loop runner.
     """
 
     def __init__(self, name: str):
@@ -83,15 +87,48 @@ class HostMiniHack:
         self.max_episode_steps = max_steps
         self.name = name
 
+        space = self.env.observation_space[obs_type]
+        if obs_type == "glyphs_crop":
+            self.obs_kind = ObsKind.DISCRETE
+            self.obs_shape = (int(np.prod(space.shape)),)
+            self.obs_dtype = np.int32
+            # MultiDiscrete mask rule: max(nvec) + 1, where the wrapper's
+            # nvec is high.max() per cell (mini_hack.py:44-53).
+            self._mask = float(int(space.high.max()) + 1)
+        else:
+            self.obs_kind = ObsKind.IMAGE
+            h, w, c = space.shape
+            self.obs_shape = (c, h, w)
+            self.obs_dtype = np.uint8
+            self._mask = 0.0
+        self.num_actions = int(self.env.action_space.n)
+
+    @property
+    def obs_mask(self) -> float:
+        return self._mask
+
     def _convert(self, obs) -> np.ndarray:
         o = obs[self.obs_type]
         if self.obs_type == "glyphs_crop":
-            return o.flatten()
+            return o.flatten().astype(np.int32)
         return o.reshape(o.shape[2], o.shape[0], o.shape[1])  # HWC -> CHW
+
+    def seed(self, seed: int) -> None:
+        try:
+            self.env.seed(seed)
+        except Exception:
+            pass
 
     def reset(self) -> np.ndarray:
         return self._convert(self.env.reset())
 
-    def step(self, action) -> Tuple[np.ndarray, float, bool, dict]:
+    def step(
+        self, action: int
+    ) -> Tuple[np.ndarray, float, bool, Dict[str, Any]]:
         obs, reward, done, info = self.env.step(int(action))
-        return self._convert(obs), reward, done, info
+        return self._convert(obs), float(reward), bool(done), dict(info)
+
+
+def make_host_env(name: str) -> HostEnvironment:
+    """Factory for host-side environments by name (MH-* domains)."""
+    return HostMiniHack(name)

@@ -17,7 +17,14 @@ from dtqn_tpu.config import get_args
 
 if __name__ == "__main__":
     config = get_args()
-    if len(config.seeds) > 1:
+    if any(n.startswith("MH-") for n in config.envs):
+        # MiniHack is C-backed host code: host-loop runner path.
+        from dtqn_tpu.train.host_loop import run_host_experiment
+
+        if config.seeds:
+            config.seed = config.seeds[0]
+        run_host_experiment(config)
+    elif len(config.seeds) > 1:
         from dtqn_tpu.train.sweep import run_sweep
 
         run_sweep(config, config.seeds)
