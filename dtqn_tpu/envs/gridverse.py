@@ -36,6 +36,7 @@ from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from dtqn_tpu.envs.core import Environment, ObsKind
@@ -47,7 +48,10 @@ NUM_TYPES = 5
 VOCAB = NUM_TYPES * NUM_COLORS  # 25 tokens
 
 # (dy, dx) for orientations N, E, S, W
-DIRS = jnp.array([[-1, 0], [0, 1], [1, 0], [0, -1]], jnp.int32)
+# numpy, not jnp: a module-level jnp constant initializes the XLA
+# backend at import time, which breaks jax.distributed.initialize
+# (must precede any backend use). Converted at the jit use sites.
+DIRS = np.array([[-1, 0], [0, 1], [1, 0], [0, -1]], np.int32)
 
 MOVE_FORWARD, MOVE_BACKWARD, MOVE_LEFT, MOVE_RIGHT, TURN_LEFT, TURN_RIGHT = (
     range(6)
@@ -187,8 +191,9 @@ class GridverseMemory(Environment):
 
     def _observe(self, state: GridverseState) -> jax.Array:
         """2x3 egocentric window, row 0 = ahead, row 1 = agent's row."""
-        fwd = DIRS[state.direction]
-        right = DIRS[(state.direction + 1) % 4]
+        dirs = jnp.asarray(DIRS)
+        fwd = dirs[state.direction]
+        right = dirs[(state.direction + 1) % 4]
 
         def world(f, l):
             c = state.pos + f * fwd + l * right
@@ -224,10 +229,11 @@ class GridverseMemory(Environment):
         del key
         a = jnp.asarray(action, jnp.int32)
         d = state.direction
+        dirs = jnp.asarray(DIRS)
         move = jnp.select(
             [a == MOVE_FORWARD, a == MOVE_BACKWARD, a == MOVE_LEFT,
              a == MOVE_RIGHT],
-            [DIRS[d], -DIRS[d], -DIRS[(d + 1) % 4], DIRS[(d + 1) % 4]],
+            [dirs[d], -dirs[d], -dirs[(d + 1) % 4], dirs[(d + 1) % 4]],
             jnp.zeros((2,), jnp.int32),
         )
         new_dir = jnp.select(

@@ -20,11 +20,15 @@ from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from dtqn_tpu.envs.core import Environment, ObsKind
 
-DIRS = jnp.array([[-1, 0], [0, 1], [1, 0], [0, -1]], jnp.int32)  # N E S W
+# numpy, not jnp: a module-level jnp constant initializes the XLA
+# backend at import time, which breaks jax.distributed.initialize
+# (must precede any backend use). Converted at the jit use sites.
+DIRS = np.array([[-1, 0], [0, 1], [1, 0], [0, -1]], np.int32)  # N E S W
 
 
 @struct.dataclass
@@ -101,7 +105,7 @@ class ImageMaze(Environment):
         self, key: jax.Array, state: ImageMazeState, action: jax.Array
     ) -> Tuple[jax.Array, ImageMazeState, jax.Array, jax.Array, Dict[str, jax.Array]]:
         del key
-        target = state.pos + DIRS[jnp.asarray(action, jnp.int32)]
+        target = state.pos + jnp.asarray(DIRS)[jnp.asarray(action, jnp.int32)]
         ty = jnp.clip(target[0], 0, self.size - 1)
         tx = jnp.clip(target[1], 0, self.size - 1)
         blocked = state.walls[ty, tx]

@@ -5,6 +5,7 @@ Checks that the DP-sharded train chunk compiles, executes, and produces the
 same learning dynamics as the single-device path given identical inputs.
 """
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -84,3 +85,53 @@ def test_mesh_divisibility_guard():
         make_distributed_train_chunk(
             agent, EpsilonSchedule(1.0, 0.1, 100), 1, 2, mesh, state
         )
+
+
+class TestMultiProcess:
+    """2-process jax.distributed local cluster (SURVEY.md §4: the standard
+    multi-host exercise without a cluster). Covers
+    parallel/distributed.init_distributed + a global-mesh sharded chunk."""
+
+    def test_two_process_sharded_training(self):
+        import socket
+        import subprocess
+        import sys
+
+        # Free port for the coordinator.
+        with socket.socket() as s:
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        worker = os.path.join(os.path.dirname(__file__), "distributed_worker.py")
+        # Strip the axon TPU plumbing: its sitecustomize initializes the
+        # XLA backend at interpreter start, which breaks
+        # jax.distributed.initialize (must run before any backend use).
+        env = {
+            k: v
+            for k, v in os.environ.items()
+            if k not in ("XLA_FLAGS", "JAX_PLATFORMS")
+            and not k.startswith(("PALLAS_AXON", "AXON_", "TPU_"))
+        }
+        procs = [
+            subprocess.Popen(
+                [sys.executable, worker, str(i), "2", str(port)],
+                stdout=subprocess.PIPE,
+                stderr=subprocess.STDOUT,
+                text=True,
+                env=env,
+                cwd=os.path.dirname(os.path.dirname(worker)),
+            )
+            for i in range(2)
+        ]
+        outs = []
+        for p in procs:
+            try:
+                out, _ = p.communicate(timeout=600)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                raise
+            outs.append(out)
+        for i, (p, out) in enumerate(zip(procs, outs)):
+            assert p.returncode == 0, f"worker {i} failed:\n{out}"
+            assert f"WORKER-OK pid={i}" in out, out
