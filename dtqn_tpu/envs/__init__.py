@@ -67,6 +67,9 @@ register("Memory-5-v0", lambda: MemoryCards(num_pairs=5, max_episode_steps=50))
 
 # Car Flag (reference envs/__init__.py:42-47: 200-step limit)
 register("DiscreteCarFlag-v0", lambda: CarFlag())
+# Continuous-force mode (car_flag.py:58-63); scripted/external policies
+# only — the Q agents are discrete-action, as in the reference.
+register("CarFlag-continuous-v0", lambda: CarFlag(discrete=False))
 
 
 def _register_image_maze() -> None:

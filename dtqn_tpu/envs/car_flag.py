@@ -8,7 +8,11 @@ near x=0.5 (±0.2) reveals heaven's direction in the 3rd obs component.
 Reward +1 at heaven, -1 at hell, episode ends at either (car_flag.py:98-117).
 
 Obs = [position, velocity, priest_hint] (car_flag.py:119-131).
-Discrete actions {0,1,2} -> force {-1,0,1} (car_flag.py:79-81).
+Discrete actions {0,1,2} -> force {-1,0,1} (car_flag.py:79-81); the
+continuous variant takes a Box(1) force clipped to [-1, 1]
+(car_flag.py:58-63,82-83).  The reference registers only the discrete env
+(its Q agents need discrete actions); the continuous mode is provided for
+capability parity and scripted/external policies.
 Registered with a 200-step time limit (envs/__init__.py:42-47).
 """
 
@@ -32,7 +36,7 @@ class CarFlagState:
 
 
 class CarFlag(Environment):
-    """Discrete-action Car Flag (DiscreteCarFlag-v0)."""
+    """Car Flag; ``discrete=False`` switches to Box(1) force actions."""
 
     name = "DiscreteCarFlag-v0"
     num_actions = 3
@@ -47,6 +51,15 @@ class CarFlag(Environment):
     priest_position = 0.5
     priest_delta = 0.2
     goal_position = 1.0  # |heaven| = |hell| = 1.0
+
+    def __init__(self, discrete: bool = True):
+        self.discrete = discrete
+        if not discrete:
+            # Box(-1, 1, (1,)) actions (car_flag.py:58-63); num_actions=0
+            # marks the env unusable by the (discrete) Q agents, like the
+            # reference, which never registers this mode.
+            self.name = "CarFlag-continuous-v0"
+            self.num_actions = 0
 
     @property
     def obs_mask(self) -> float:
@@ -87,7 +100,14 @@ class CarFlag(Environment):
         self, key: jax.Array, state: CarFlagState, action: jax.Array
     ) -> Tuple[jax.Array, CarFlagState, jax.Array, jax.Array, Dict[str, jax.Array]]:
         del key  # dynamics are deterministic
-        force = jnp.asarray(action, jnp.float32) - 1.0
+        if self.discrete:
+            # 0 is -1, 1 is 0, 2 is 1 (car_flag.py:79-81)
+            force = jnp.asarray(action, jnp.float32) - 1.0
+        else:
+            # Box action clipped to [-1, 1] (car_flag.py:82-83)
+            force = jnp.clip(
+                jnp.asarray(action, jnp.float32).reshape(()), -1.0, 1.0
+            )
         velocity = jnp.clip(
             state.velocity + force * self.power, -self.max_speed, self.max_speed
         )

@@ -248,3 +248,43 @@ def test_registry():
     assert env.num_actions == 3
     with pytest.raises(KeyError):
         make_env("nope-v0")
+
+
+class TestContinuousCarFlag:
+    """Box(1) force mode (reference car_flag.py:58-63,82-83)."""
+
+    def test_fractional_force_matches_discrete_scaling(self):
+        env = make_env("CarFlag-continuous-v0")
+        assert env.num_actions == 0  # not usable by discrete Q agents
+        _, st = env.reset(jax.random.key(0))
+        # force 1.0 == discrete action 2
+        _, st1, r, term, _ = env.step_env(
+            jax.random.key(1), st, jnp.float32(1.0)
+        )
+        denv = make_env("DiscreteCarFlag-v0")
+        _, dst = denv.reset(jax.random.key(0))
+        _, dst1, _, _, _ = denv.step_env(jax.random.key(1), dst, jnp.int32(2))
+        assert float(st1.velocity) == float(dst1.velocity)
+        # fractional force scales velocity linearly
+        _, st_half, _, _, _ = env.step_env(
+            jax.random.key(1), st, jnp.float32(0.5)
+        )
+        assert float(st_half.velocity) == pytest.approx(
+            0.5 * float(st1.velocity)
+        )
+
+    def test_action_clipped(self):
+        env = make_env("CarFlag-continuous-v0")
+        _, st = env.reset(jax.random.key(0))
+        _, a, _, _, _ = env.step_env(jax.random.key(1), st, jnp.float32(10.0))
+        _, b, _, _, _ = env.step_env(jax.random.key(1), st, jnp.float32(1.0))
+        assert float(a.velocity) == float(b.velocity)
+
+    def test_vectorized_rollout(self):
+        env = make_env("CarFlag-continuous-v0")
+        obs, st = env.reset_vec(jax.random.split(jax.random.key(0), 4))
+        forces = jnp.full((4,), 0.7, jnp.float32)
+        obs, st, ts = env.step_vec(
+            jax.random.split(jax.random.key(1), 4), st, forces
+        )
+        assert obs.shape == (4, 3) and ts.reward.shape == (4,)

@@ -234,3 +234,128 @@ class TestRegistryAndMulti:
         # Random policy finds exits sometimes; rewards bounded as specified.
         assert float(rew.min()) >= -5.1 and float(rew.max()) <= 5.0
         assert bool(done.any())
+
+
+def _custom_state(env, walls, corners_type=FLOOR):
+    """7x7 room, agent at center (3,3) facing N; walls placed at the named
+    window-neighbor offsets: 'left'=(3,2), 'ahead'=(2,3), 'right'=(3,4);
+    the ahead corners (2,2)/(2,4) get ``corners_type``."""
+    from dtqn_tpu.envs.gridverse import GridverseState
+
+    _, st = env.reset_env(jax.random.key(0))
+    g = np.asarray(st.grid_type).copy()
+    c = np.asarray(st.grid_color).copy()
+    # Clear interior to plain floor.
+    g[1:6, 1:6] = FLOOR
+    c[1:6, 1:6] = 0
+    spots = {"left": (3, 2), "ahead": (2, 3), "right": (3, 4)}
+    for name in walls:
+        g[spots[name]] = WALL
+    g[2, 2] = corners_type
+    g[2, 4] = corners_type
+    return GridverseState(
+        grid_type=jnp.asarray(g),
+        grid_color=jnp.asarray(c),
+        good_color=st.good_color,
+        pos=jnp.array([3, 3], jnp.int32),
+        direction=jnp.int32(0),  # facing N: ahead = row 2
+        t=jnp.int32(0),
+    )
+
+
+class TestOcclusionAudit:
+    """Exhaustive truth table for the partially_occluded window
+    (area [[-1,0],[-1,1]], gv_memory.5x5.yaml:36-37): an ahead-corner cell
+    is hidden exactly when BOTH cells adjacent to it inside the window
+    (the side cell and the directly-ahead cell) are walls."""
+
+    @pytest.mark.parametrize("w_left", [False, True])
+    @pytest.mark.parametrize("w_ahead", [False, True])
+    @pytest.mark.parametrize("w_right", [False, True])
+    @pytest.mark.parametrize("corner_wall", [False, True])
+    def test_truth_table(self, w_left, w_ahead, w_right, corner_wall):
+        env = GridverseMemory(7)
+        walls = [n for n, w in
+                 (("left", w_left), ("ahead", w_ahead), ("right", w_right))
+                 if w]
+        st = _custom_state(
+            env, walls, corners_type=WALL if corner_wall else FLOOR
+        )
+        obs = np.asarray(env._observe(st))
+        # Window layout: [ahead-left, ahead, ahead-right, left, self, right]
+        corner_tok = WALL * NUM_COLORS if corner_wall else FLOOR * NUM_COLORS
+        exp_left = HIDDEN if (w_left and w_ahead) else corner_tok
+        exp_right = HIDDEN if (w_right and w_ahead) else corner_tok
+        assert obs[0] == exp_left, (obs, walls, corner_wall)
+        assert obs[2] == exp_right, (obs, walls, corner_wall)
+        # Non-corner cells are never occluded, only out-of-grid hides them.
+        assert obs[1] == (WALL if w_ahead else FLOOR) * NUM_COLORS
+        assert obs[3] == (WALL if w_left else FLOOR) * NUM_COLORS
+        assert obs[5] == (WALL if w_right else FLOOR) * NUM_COLORS
+        assert obs[4] == FLOOR * NUM_COLORS  # the agent's own cell
+
+
+class TestResetAudit:
+    """Spawn-support + beacon/exit-mapping audit over many resets
+    (memory reset function, gv_memory.5x5.yaml:17-20)."""
+
+    @pytest.mark.parametrize("four_rooms", [False, True])
+    def test_spawn_support_and_colors(self, four_rooms):
+        env = GridverseMemory(7, four_rooms=four_rooms)
+        keys = jax.random.split(jax.random.key(0), 200)
+        obs, st = env.reset_vec(keys)
+        g = np.asarray(st.grid_type)
+        c = np.asarray(st.grid_color)
+        pos = np.asarray(st.pos)
+        dirs = np.asarray(st.direction)
+        good = np.asarray(st.good_color)
+        for i in range(len(keys)):
+            # Agent only ever spawns on plain floor.
+            assert g[i, pos[i, 0], pos[i, 1]] == FLOOR
+            # Exactly 2 exits and 1 beacon.
+            assert (g[i] == EXIT).sum() == 2
+            assert (g[i] == BEACON).sum() == 1
+            # Exit colors distinct, drawn from {RED..YELLOW} (1..4).
+            exit_colors = c[i][g[i] == EXIT]
+            assert exit_colors[0] != exit_colors[1]
+            assert set(exit_colors.tolist()) <= {1, 2, 3, 4}
+            # The beacon's color IS the good color and matches one exit.
+            beacon_color = int(c[i][g[i] == BEACON][0])
+            assert beacon_color == good[i]
+            assert beacon_color in exit_colors.tolist()
+        # Spawn support: many distinct cells and all 4 orientations occur.
+        assert len({(int(y), int(x)) for y, x in pos}) > 10
+        assert set(dirs.tolist()) == {0, 1, 2, 3}
+        # Good exit is the left corner ~half the time (unbiased swap).
+        if not four_rooms:
+            left_good = [
+                int(c[i, 1, 1] == good[i]) for i in range(len(keys))
+            ]
+            assert 0.3 < np.mean(left_good) < 0.7
+
+    def test_reward_golden_both_exits(self):
+        """+5-0.05 at the beacon-colored exit, -5-0.05 at the other."""
+        env = GridverseMemory(5)
+        from dtqn_tpu.envs.gridverse import GridverseState
+
+        for swap in (False, True):
+            _, st = env.reset_env(jax.random.key(3 if swap else 1))
+            c = np.asarray(st.grid_color)
+            good_is_left = c[1, 1] == int(st.good_color)
+            # Stand next to each exit and step onto it.
+            for (exit_pos, below) in (((1, 1), (2, 1)), ((1, 3), (2, 3))):
+                st2 = GridverseState(
+                    grid_type=st.grid_type,
+                    grid_color=st.grid_color,
+                    good_color=st.good_color,
+                    pos=jnp.array(below, jnp.int32),
+                    direction=jnp.int32(0),  # N — exit is directly ahead
+                    t=jnp.int32(0),
+                )
+                _, _, r, term, info = env.step_env(
+                    jax.random.key(0), st2, jnp.int32(0)  # MOVE_FORWARD
+                )
+                is_good = (exit_pos == (1, 1)) == good_is_left
+                assert bool(term)
+                assert float(r) == pytest.approx(4.95 if is_good else -5.05)
+                assert bool(info["is_success"]) == is_good
