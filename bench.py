@@ -13,9 +13,15 @@ reference's data/update ratio of exactly 1 gradient step per env step
 Baseline: the reference PyTorch hot loop measured on this host's CPU by
 tools/bench_reference.py (get_action forward + full DDQN train step per env
 step): 0.68 env-steps/s.
+
+Optional modes (the default line stays the driver contract):
+  --bag N    DTQN-bag path (bag cross-attention + Q-driven eviction +
+             sample_with_bag) on gv_memory.7x7 at bag size N
+  --seeds N  vmapped N-seed sweep: aggregate env-steps/s per chip
 """
 
 import json
+import sys
 import time
 
 import jax
@@ -31,7 +37,7 @@ def sync(state):
     computation finishes (and pure counters like env_steps are hoistable),
     so timing must fetch values that depend on the full learn chain.
     """
-    _ = int(state.train_steps)
+    _ = int(np.asarray(state.train_steps).sum())
     _ = float(
         np.asarray(jax.tree_util.tree_leaves(state.params)[0]).ravel()[0]
     )
@@ -44,38 +50,75 @@ def main():
 
     from dtqn_tpu.agents import Agent, AgentConfig
     from dtqn_tpu.envs import make_env
-    from dtqn_tpu.train.loop import make_prepopulate, make_train_chunk
+    from dtqn_tpu.train.loop import (
+        make_prepopulate_fn,
+        make_train_chunk_fn,
+    )
     from dtqn_tpu.utils.epsilon import EpsilonSchedule
 
+    argv = sys.argv[1:]
+
+    def opt(flag, default):
+        return int(argv[argv.index(flag) + 1]) if flag in argv else default
+
+    bag = opt("--bag", 0)
+    n_seeds = opt("--seeds", 1)
+    if "--attention" in argv:
+        from dtqn_tpu.ops.attention import set_attention_impl
+
+        set_attention_impl(argv[argv.index("--attention") + 1])
+
     num_envs = 64
-    env = make_env("DiscreteCarFlag-v0")
+    if bag > 0:
+        env = make_env("gv_memory.7x7.yaml")
+        metric = f"gv7x7_dtqn_bag{bag}_env_steps_per_s_1to1_updates"
+        in_embed = 128  # README.md:116-117 (128 for gridverse)
+    else:
+        env = make_env("DiscreteCarFlag-v0")
+        metric = "carflag_dtqn_env_steps_per_s_1to1_updates"
+        in_embed = 64
+    if n_seeds > 1:
+        metric += f"_x{n_seeds}seeds"
+
     cfg = AgentConfig(
         model="DTQN",
         num_envs=num_envs,
         context_len=50,
         history=50,
-        inner_embed=64,
+        inner_embed=in_embed,
         num_heads=8,
         num_layers=2,
         batch_size=32,
         buffer_size=500_000,
         target_update_frequency=10_000,
+        bag_size=bag,
     )
     agent = Agent(cfg, env)
-    state = agent.init_state(jax.random.key(0))
 
-    # Enough prepopulation that learn() steps actually apply.
-    prepop = make_prepopulate(agent, iters=max(40_000 // num_envs, 1))
-    state = prepop(state)
-    assert int(state.buffer.flushed_total) > cfg.batch_size
-
+    prepop_fn = make_prepopulate_fn(agent, iters=max(40_000 // num_envs, 1))
     iters = 50  # x num_envs env steps per chunk, 1 update per env step
-    chunk = make_train_chunk(
+    chunk_fn = make_train_chunk_fn(
         agent,
         EpsilonSchedule(1.0, 0.1, 200_000),
         updates_per_iter=num_envs,
         iters_per_chunk=iters,
     )
+    if n_seeds > 1:
+        keys = jax.numpy.stack(
+            [jax.random.key(s) for s in range(n_seeds)]
+        )
+        state = jax.jit(jax.vmap(agent._init_state_impl))(keys)
+        prepop = jax.jit(jax.vmap(prepop_fn), donate_argnums=(0,))
+        chunk = jax.jit(jax.vmap(chunk_fn), donate_argnums=(0,))
+    else:
+        state = agent.init_state(jax.random.key(0))
+        prepop = jax.jit(prepop_fn, donate_argnums=(0,))
+        chunk = jax.jit(chunk_fn, donate_argnums=(0,))
+
+    # Enough prepopulation that learn() steps actually apply.
+    state = prepop(state)
+    assert int(np.min(state.buffer.flushed_total)) > cfg.batch_size
+
     state = chunk(state)  # compile + warmup
     sync(state)
 
@@ -85,13 +128,14 @@ def main():
         state = chunk(state)
         sync(state)
         best = min(best, time.perf_counter() - t0)
-    assert int(state.train_steps) > 0 and int(state.nonfinite_grads) == 0
+    assert int(np.min(state.train_steps)) > 0
+    assert int(np.max(state.nonfinite_grads)) == 0
 
-    value = iters * num_envs / best
+    value = iters * num_envs * n_seeds / best
     print(
         json.dumps(
             {
-                "metric": "carflag_dtqn_env_steps_per_s_1to1_updates",
+                "metric": metric,
                 "value": round(value, 1),
                 "unit": "env-steps/s (== learner updates/s)",
                 "vs_baseline": round(value / REFERENCE_CPU_STEPS_PER_S, 1),

@@ -426,33 +426,56 @@ class Agent:
             )
             bag_in = None
 
-        # DDQN target: policy net argmax, target net value (dtqn.py:221-238).
-        # Policy and target params share a structure, so both no-grad
-        # forwards run as ONE vmapped call over stacked params — a single
-        # 2B-batch matmul chain on the MXU instead of two B-batch chains.
-        stacked = jax.tree_util.tree_map(
-            lambda p, t: jnp.stack([p, t]), state.params, state.target_params
-        )
-        next_q_both = jax.vmap(
-            lambda p: self._q_context(
-                p, batch.next_obs, batch.next_action, bag_in, batch.ep_len
-            )
-        )(stacked)
-        next_q_policy, next_q_target = next_q_both[0], next_q_both[1]
-        next_act = jnp.argmax(next_q_policy, axis=-1)
-        next_q = jnp.take_along_axis(
-            next_q_target, next_act[..., None], axis=-1
-        )[..., 0].astype(jnp.float32)  # Bellman math stays f32 under bf16
-        dones = batch.done.astype(jnp.float32)
-        targets = batch.reward + (1.0 - dones) * cfg.gamma * next_q
-
         hist = cfg.history
 
+        # DDQN target + loss forward fused into ONE 3-lane vmapped call
+        # (dtqn.py:215-238): lane 0 = policy on the context window (the
+        # differentiated loss forward), lanes 1/2 = stop-gradient policy/
+        # target on the next window (argmax selector / value).  The train
+        # step is latency-bound on its sequential op chain at DTQN sizes;
+        # one 3B-batch matmul chain replaces two separate chains (2B + B)
+        # at near-identical latency per op.  Gradients flow only through
+        # lane 0 (lanes 1-2 are stop_gradient'ed), so the math is
+        # identical to three separate forwards.  The bag is the same for
+        # all lanes (closed over, broadcast by vmap).
+        obs3 = jnp.concatenate(
+            [batch.obs, batch.next_obs, batch.next_obs], axis=0
+        )
+        act3 = jnp.concatenate(
+            [batch.action, batch.next_action, batch.next_action], axis=0
+        )
+        ep3 = jnp.concatenate([batch.ep_len] * 3, axis=0)
+        bsz = batch.obs.shape[0]
+
         def loss_fn(params):
-            q_all = self._q_context(
-                params, batch.obs, batch.action, bag_in, batch.ep_len,
-                dropout_key=k_drop,
+            stacked = jax.tree_util.tree_map(
+                lambda p, t: jnp.stack(
+                    [
+                        p,
+                        jax.lax.stop_gradient(p),
+                        jax.lax.stop_gradient(t),
+                    ]
+                ),
+                params,
+                state.target_params,
             )
+            q3 = jax.vmap(
+                lambda p, o, a, e: self._q_context(
+                    p, o, a, bag_in, e, dropout_key=k_drop
+                )
+            )(
+                stacked,
+                obs3.reshape(3, bsz, *obs3.shape[1:]),
+                act3.reshape(3, bsz, *act3.shape[1:]),
+                ep3.reshape(3, bsz),
+            )
+            q_all, next_q_policy, next_q_target = q3[0], q3[1], q3[2]
+            next_act = jnp.argmax(next_q_policy, axis=-1)
+            next_q = jnp.take_along_axis(
+                next_q_target, next_act[..., None], axis=-1
+            )[..., 0].astype(jnp.float32)  # Bellman stays f32 under bf16
+            dones = batch.done.astype(jnp.float32)
+            targets = batch.reward + (1.0 - dones) * cfg.gamma * next_q
             q_taken = jnp.take_along_axis(
                 q_all, batch.action[..., None], axis=-1
             )[..., 0].astype(jnp.float32)
