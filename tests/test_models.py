@@ -274,3 +274,52 @@ class TestAttentionWeights:
 
         q2, _ = attention_weights(net, params, obss, actions)
         np.testing.assert_allclose(np.asarray(q), np.asarray(q2), rtol=1e-6)
+
+
+class TestDropout:
+    """Dropout parity: applied to attention PROBABILITIES (torch
+    nn.MultiheadAttention semantics, transformer.py:30-36) and after the
+    FFN's second linear; deterministic path is dropout-free."""
+
+    def _net(self):
+        return make_dtqn(dropout=0.3, num_layers=1)
+
+    def test_deterministic_path_is_stable(self):
+        obss = jax.random.normal(jax.random.key(1), (B, L, OBS))
+        net = self._net()
+        params = net.init(jax.random.key(0), obss)
+        a = net.apply(params, obss)  # deterministic default
+        b = net.apply(params, obss)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_stochastic_path_varies_with_key(self):
+        obss = jax.random.normal(jax.random.key(1), (B, L, OBS))
+        net = self._net()
+        params = net.init(jax.random.key(0), obss)
+        outs = [
+            np.asarray(
+                net.apply(
+                    params, obss, deterministic=False,
+                    rngs={"dropout": jax.random.key(k)},
+                )
+            )
+            for k in (1, 2)
+        ]
+        assert not np.array_equal(outs[0], outs[1])
+        # And differs from the deterministic forward (dropout active).
+        det = np.asarray(net.apply(params, obss))
+        assert not np.array_equal(outs[0], det)
+
+    def test_dropout_zero_paths_agree(self):
+        """dropout=0: stochastic flag is a no-op (same numbers)."""
+        obss = jax.random.normal(jax.random.key(1), (B, L, OBS))
+        net = make_dtqn(dropout=0.0, num_layers=1)
+        params = net.init(jax.random.key(0), obss)
+        det = np.asarray(net.apply(params, obss))
+        sto = np.asarray(
+            net.apply(
+                params, obss, deterministic=False,
+                rngs={"dropout": jax.random.key(7)},
+            )
+        )
+        np.testing.assert_allclose(det, sto, rtol=1e-6)
