@@ -408,23 +408,39 @@ class Agent:
         )
 
     # ---------------------------------------------------------------- learn
+    def sample_batch(self, buffer: replay.BufferState, key):
+        """Draw one training batch from a (frozen) buffer.
+
+        Split from the update so the train loop can presample all of an
+        iteration's batches in ONE vmapped gather: the buffer does not
+        change between the iteration's gradient steps (no env steps
+        interleave, train/loop.py), so batch distribution is identical to
+        sampling inside the update chain — the reference's
+        sample-then-update per step (dtqn.py:163-194) with the sampling
+        hoisted off the sequential latency path.
+        """
+        cfg = self.config
+        if self.use_bag:
+            return replay.sample_with_bag(
+                buffer, key, cfg.batch_size, cfg.context_len,
+                cfg.bag_size, self.env.obs_mask,
+            )
+        return replay.sample(buffer, key, cfg.batch_size, cfg.context_len)
+
     def learn(self, state: AgentState, key) -> AgentState:
         """One gated DDQN gradient step (dtqn.py:162-269, dqn.py:142-206)."""
+        key, k_sample = jax.random.split(key)
+        batch = self.sample_batch(state.buffer, k_sample)
+        return self.apply_update(state, batch, key)
+
+    def apply_update(self, state: AgentState, batch, key) -> AgentState:
+        """The gradient step on a presampled batch (dtqn.py:196-269)."""
         cfg = self.config
         ok = replay.can_sample(state.buffer, cfg.batch_size)
         key, k_drop = jax.random.split(key)
-
-        if self.use_bag:
-            batch = replay.sample_with_bag(
-                state.buffer, key, cfg.batch_size, cfg.context_len,
-                cfg.bag_size, self.env.obs_mask,
-            )
-            bag_in = (batch.bag_obs, batch.bag_action)
-        else:
-            batch = replay.sample(
-                state.buffer, key, cfg.batch_size, cfg.context_len
-            )
-            bag_in = None
+        bag_in = (
+            (batch.bag_obs, batch.bag_action) if self.use_bag else None
+        )
 
         hist = cfg.history
 

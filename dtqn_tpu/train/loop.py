@@ -21,6 +21,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from dtqn_tpu import replay
 from dtqn_tpu.agents.base import Agent, AgentState
@@ -80,20 +81,56 @@ def make_train_chunk_fn(
     steps + ``updates_per_iter`` gradient steps each).  ``parallel.mesh``
     re-jits this with explicit shardings for multi-chip runs."""
 
+    # Presample all of an iteration's batches in one vmapped gather when
+    # the presampled stack is small (the buffer is frozen between the
+    # iteration's updates, so this is distribution-identical to sampling
+    # inside the update chain); image-obs batches can be large, so those
+    # keep in-scan sampling.
+    cfg = agent.config
+    obs_bytes = int(
+        np.prod(agent.env.obs_shape) * jnp.dtype(agent.env.obs_dtype).itemsize
+    )
+    presample_bytes = (
+        updates_per_iter
+        * cfg.batch_size
+        * (cfg.context_len + 1)
+        * obs_bytes
+    )
+    presample = 0 < presample_bytes <= 64 * 1024 * 1024
+
     def train_iter(state: AgentState, _) -> Tuple[AgentState, None]:
         key, k_step, k_learn = jax.random.split(state.key, 3)
         state = state.replace(key=key)
         state = env_step(agent, state, k_step)
 
         if updates_per_iter > 0:
-            def one_update(st, k):
-                return agent.learn(st, k), None
+            if presample:
+                # Independent key streams for sampling and dropout.
+                ks = jax.random.split(k_learn, 2 * updates_per_iter)
+                sample_keys, update_keys = (
+                    ks[:updates_per_iter],
+                    ks[updates_per_iter:],
+                )
+                batches = jax.vmap(
+                    lambda k: agent.sample_batch(state.buffer, k)
+                )(sample_keys)
 
-            state, _ = jax.lax.scan(
-                one_update,
-                state,
-                jax.random.split(k_learn, updates_per_iter),
-            )
+                def one_update(st, kb):
+                    k, batch = kb
+                    return agent.apply_update(st, batch, k), None
+
+                state, _ = jax.lax.scan(
+                    one_update, state, (update_keys, batches)
+                )
+            else:
+                def one_update(st, k):
+                    return agent.learn(st, k), None
+
+                state, _ = jax.lax.scan(
+                    one_update,
+                    state,
+                    jax.random.split(k_learn, updates_per_iter),
+                )
         state = state.replace(
             epsilon=eps_schedule.anneal(state.epsilon, agent.config.num_envs)
         )
