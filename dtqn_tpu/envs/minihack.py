@@ -44,7 +44,32 @@ MH_SPECS = {
     "MH-MazeMap-9-v0": ("MiniHack-MazeWalk-Mapped-9x9-v0", "glyphs_crop", 9, 180),
     "MH-MazeMap-9-v1": ("MiniHack-MazeWalk-Mapped-9x9-v0", "glyphs_crop", 3, 180),
     "MH-MazeMap-9-v2": ("MiniHack-MazeWalk-9x9-v0", "pixel_crop", 9, 180),
+    # Custom des-file maze pair (reference envs/__init__.py:181-211 builds
+    # MH-maze-v1/v2 from an inline NetHack .des map via
+    # MiniHack-Navigation-Custom-v0); env_id None selects the des path.
+    "MH-maze-v1": (None, "glyphs_crop", 3, 180),
+    "MH-maze-v2": (None, "pixel_crop", 9, 180),
 }
+
+# Own 12-wide premapped maze (same capability as the reference's inline des
+# map; layout differs deliberately — the map IS the level definition).
+DES_MAZE_V0 = """
+MAZE: "mylevel", ' '
+FLAGS:premapped
+GEOMETRY:center,center
+MAP
+||||||||||||
+|.....|....|
+|.|||.|.||.|
+|.|...|..|.|
+|.|.|||||..|
+|.|.....||.|
+|...|||....|
+||||||||||||
+ENDMAP
+STAIR:(10, 1),down
+BRANCH: (1,6,1,6),(2,2,2,2)
+"""
 
 
 def minihack_available() -> bool:
@@ -77,12 +102,22 @@ class HostMiniHack(HostEnvironment):
         import minihack  # noqa: F401
 
         env_id, obs_type, obs_crop, max_steps = MH_SPECS[name]
-        self.env = gym.make(
-            env_id,
-            observation_keys=(obs_type,),
-            obs_crop_h=obs_crop,
-            obs_crop_w=obs_crop,
-        )
+        if env_id is None:
+            # des-file variants (envs/__init__.py:199-211, mini_hack.py:26-33)
+            self.env = gym.make(
+                "MiniHack-Navigation-Custom-v0",
+                des_file=DES_MAZE_V0,
+                observation_keys=(obs_type,),
+                obs_crop_h=obs_crop,
+                obs_crop_w=obs_crop,
+            )
+        else:
+            self.env = gym.make(
+                env_id,
+                observation_keys=(obs_type,),
+                obs_crop_h=obs_crop,
+                obs_crop_w=obs_crop,
+            )
         self.obs_type = obs_type
         self.max_episode_steps = max_steps
         self.name = name
