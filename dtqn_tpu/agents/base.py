@@ -437,55 +437,49 @@ class Agent:
         """The gradient step on a presampled batch (dtqn.py:196-269)."""
         cfg = self.config
         ok = replay.can_sample(state.buffer, cfg.batch_size)
-        key, k_drop = jax.random.split(key)
+        key, k_drop, k_drop_t = jax.random.split(key, 3)
         bag_in = (
             (batch.bag_obs, batch.bag_action) if self.use_bag else None
         )
 
         hist = cfg.history
-
-        # DDQN target + loss forward fused into ONE 3-lane vmapped call
-        # (dtqn.py:215-238): lane 0 = policy on the context window (the
-        # differentiated loss forward), lanes 1/2 = stop-gradient policy/
-        # target on the next window (argmax selector / value).  The train
-        # step is latency-bound on its sequential op chain at DTQN sizes;
-        # one 3B-batch matmul chain replaces two separate chains (2B + B)
-        # at near-identical latency per op.  Gradients flow only through
-        # lane 0 (lanes 1-2 are stop_gradient'ed), so the math is
-        # identical to three separate forwards.  The bag is the same for
-        # all lanes (closed over, broadcast by vmap).
-        obs3 = jnp.concatenate(
-            [batch.obs, batch.next_obs, batch.next_obs], axis=0
-        )
-        act3 = jnp.concatenate(
-            [batch.action, batch.next_action, batch.next_action], axis=0
-        )
-        ep3 = jnp.concatenate([batch.ep_len] * 3, axis=0)
         bsz = batch.obs.shape[0]
 
+        # The three DDQN forwards (dtqn.py:215-238) run as TWO calls:
+        #   - policy params on [context window ; next window] batch-
+        #     concatenated (2B): the loss forward and the argmax selector
+        #     share weights, so concatenating along BATCH keeps every
+        #     matmul a plain batched MXU op (no per-lane grouped matmuls
+        #     from stacking params) and halves the sequential policy-
+        #     forward chain; the selector half contributes zero gradient
+        #     (argmax -> integer indices only), so the fused backward is
+        #     the ordinary loss backward with a zero-cotangent half.
+        #   - target params on the next window (B), outside the grad path.
+        # Both use train-mode stochastic dropout with independent masks
+        # (torch no_grad train-mode forwards, dqn.py:113-115).
+        obs2 = jnp.concatenate([batch.obs, batch.next_obs], axis=0)
+        act2 = jnp.concatenate([batch.action, batch.next_action], axis=0)
+        ep2 = jnp.concatenate([batch.ep_len, batch.ep_len], axis=0)
+        bag2 = (
+            tuple(jnp.concatenate([b, b], axis=0) for b in bag_in)
+            if self.use_bag
+            else None
+        )
+
+        next_q_target = self._q_context(
+            state.target_params,
+            batch.next_obs,
+            batch.next_action,
+            bag_in,
+            batch.ep_len,
+            dropout_key=k_drop_t,
+        )
+
         def loss_fn(params):
-            stacked = jax.tree_util.tree_map(
-                lambda p, t: jnp.stack(
-                    [
-                        p,
-                        jax.lax.stop_gradient(p),
-                        jax.lax.stop_gradient(t),
-                    ]
-                ),
-                params,
-                state.target_params,
+            q2 = self._q_context(
+                params, obs2, act2, bag2, ep2, dropout_key=k_drop
             )
-            q3 = jax.vmap(
-                lambda p, o, a, e: self._q_context(
-                    p, o, a, bag_in, e, dropout_key=k_drop
-                )
-            )(
-                stacked,
-                obs3.reshape(3, bsz, *obs3.shape[1:]),
-                act3.reshape(3, bsz, *act3.shape[1:]),
-                ep3.reshape(3, bsz),
-            )
-            q_all, next_q_policy, next_q_target = q3[0], q3[1], q3[2]
+            q_all, next_q_policy = q2[:bsz], q2[bsz:]
             next_act = jnp.argmax(next_q_policy, axis=-1)
             next_q = jnp.take_along_axis(
                 next_q_target, next_act[..., None], axis=-1

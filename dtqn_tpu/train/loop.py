@@ -76,6 +76,7 @@ def make_train_chunk_fn(
     eps_schedule: EpsilonSchedule,
     updates_per_iter: int,
     iters_per_chunk: int,
+    presample: Optional[bool] = None,
 ):
     """Un-jitted chunk body: advance ``iters_per_chunk`` iterations (E env
     steps + ``updates_per_iter`` gradient steps each).  ``parallel.mesh``
@@ -85,7 +86,7 @@ def make_train_chunk_fn(
     # the presampled stack is small (the buffer is frozen between the
     # iteration's updates, so this is distribution-identical to sampling
     # inside the update chain); image-obs batches can be large, so those
-    # keep in-scan sampling.
+    # keep in-scan sampling.  ``presample`` overrides the heuristic.
     cfg = agent.config
     obs_bytes = int(
         np.prod(agent.env.obs_shape) * jnp.dtype(agent.env.obs_dtype).itemsize
@@ -96,7 +97,8 @@ def make_train_chunk_fn(
         * (cfg.context_len + 1)
         * obs_bytes
     )
-    presample = 0 < presample_bytes <= 64 * 1024 * 1024
+    if presample is None:
+        presample = 0 < presample_bytes <= 64 * 1024 * 1024
 
     def train_iter(state: AgentState, _) -> Tuple[AgentState, None]:
         key, k_step, k_learn = jax.random.split(state.key, 3)
@@ -150,11 +152,12 @@ def make_train_chunk(
     eps_schedule: EpsilonSchedule,
     updates_per_iter: int,
     iters_per_chunk: int,
+    presample: Optional[bool] = None,
 ):
     """Single-device jitted train chunk (buffers donated for in-place
     updates)."""
     fn = make_train_chunk_fn(
-        agent, eps_schedule, updates_per_iter, iters_per_chunk
+        agent, eps_schedule, updates_per_iter, iters_per_chunk, presample
     )
     return jax.jit(fn, donate_argnums=(0,))
 

@@ -17,6 +17,14 @@ from dtqn_tpu.config import get_args
 
 if __name__ == "__main__":
     config = get_args()
+    if config.device == "cpu":
+        # Honor --device cpu (reference run.py:84) even on hosts whose
+        # sitecustomize force-registers an accelerator platform: the env
+        # var JAX_PLATFORMS can be overridden there, but the config update
+        # wins as long as no backend has initialized yet.
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     if any(n.startswith("MH-") for n in config.envs):
         # MiniHack is C-backed host code: host-loop runner path.
         from dtqn_tpu.train.host_loop import run_host_experiment
