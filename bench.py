@@ -63,6 +63,7 @@ def main():
 
     bag = opt("--bag", 0)
     n_seeds = opt("--seeds", 1)
+    presample = opt("--presample", -1)  # -1 auto, 0 off, 1 on
     if "--attention" in argv:
         from dtqn_tpu.ops.attention import set_attention_impl
 
@@ -102,6 +103,7 @@ def main():
         EpsilonSchedule(1.0, 0.1, 200_000),
         updates_per_iter=num_envs,
         iters_per_chunk=iters,
+        presample=None if presample < 0 else bool(presample),
     )
     if n_seeds > 1:
         keys = jax.numpy.stack(

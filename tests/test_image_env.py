@@ -86,7 +86,9 @@ class TestImageTraining:
 def test_minihack_gated():
     from dtqn_tpu.envs.minihack import MH_SPECS, HostMiniHack, minihack_available
 
-    assert len(MH_SPECS) == 18  # all reference registrations covered
+    # All 20 reference MH- registrations covered (18 standard variants +
+    # the custom des-file maze pair, /root/reference/envs/__init__.py:55-211).
+    assert len(MH_SPECS) == 20
     if not minihack_available():
         with pytest.raises(ImportError, match="minihack"):
             HostMiniHack("MH-Room-5-v0")
