@@ -126,8 +126,19 @@ def run_sweep(config: ExperimentConfig, seeds: Sequence[int]) -> dict:
     time_budget = config.time_limit * 3600 if config.time_limit else None
     last_policy_save = int(states.env_steps[0])
     final: dict = {s: {} for s in seeds}
+    profiled = False
 
     while int(states.env_steps[0]) < config.num_steps:
+        if config.profile_dir and not profiled and int(states.env_steps[0]) > 0:
+            # Trace one post-warmup vmapped chunk (compile excluded), as in
+            # runner.py — for diagnosing seed-axis scaling on real hardware.
+            from dtqn_tpu.utils.profiling import trace_chunks
+
+            with trace_chunks(config.profile_dir):
+                states = chunk(states)
+                jax.block_until_ready(states.params)
+            profiled = True
+            continue
         states = chunk(states)
         step = int(states.env_steps[0])
         hours = (time.time() - start_time) / 3600
