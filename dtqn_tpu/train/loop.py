@@ -21,7 +21,6 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from dtqn_tpu import replay
 from dtqn_tpu.agents.base import Agent, AgentState
@@ -82,23 +81,16 @@ def make_train_chunk_fn(
     steps + ``updates_per_iter`` gradient steps each).  ``parallel.mesh``
     re-jits this with explicit shardings for multi-chip runs."""
 
-    # Presample all of an iteration's batches in one vmapped gather when
-    # the presampled stack is small (the buffer is frozen between the
-    # iteration's updates, so this is distribution-identical to sampling
-    # inside the update chain); image-obs batches can be large, so those
-    # keep in-scan sampling.  ``presample`` overrides the heuristic.
-    cfg = agent.config
-    obs_bytes = int(
-        np.prod(agent.env.obs_shape) * jnp.dtype(agent.env.obs_dtype).itemsize
-    )
-    presample_bytes = (
-        updates_per_iter
-        * cfg.batch_size
-        * (cfg.context_len + 1)
-        * obs_bytes
-    )
+    # ``presample=True`` gathers all of an iteration's batches in one
+    # vmapped presample before the update scan (the buffer is frozen
+    # between the iteration's updates, so this is distribution-identical
+    # to sampling inside the update chain).  Measured on the v5e chip at
+    # bench shapes it LOSES to in-scan sampling (2020 vs 2145 env-steps/s
+    # with the same learn path): the one-shot [updates, B, L+1] gather
+    # costs more than the per-update gathers it hoists off the scan.  It
+    # therefore defaults OFF and remains available for experimentation.
     if presample is None:
-        presample = 0 < presample_bytes <= 64 * 1024 * 1024
+        presample = False
 
     def train_iter(state: AgentState, _) -> Tuple[AgentState, None]:
         key, k_step, k_learn = jax.random.split(state.key, 3)
