@@ -68,6 +68,10 @@ def main():
         from dtqn_tpu.ops.attention import set_attention_impl
 
         set_attention_impl(argv[argv.index("--attention") + 1])
+    if "--bf16" in argv:
+        from dtqn_tpu.models.init import set_compute_dtype
+
+        set_compute_dtype("bfloat16")
 
     num_envs = 64
     if bag > 0:
