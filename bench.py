@@ -18,6 +18,13 @@ Optional modes (the default line stays the driver contract):
   --bag N    DTQN-bag path (bag cross-attention + Q-driven eviction +
              sample_with_bag) on gv_memory.7x7 at bag size N
   --seeds N  vmapped N-seed sweep: aggregate env-steps/s per chip
+  --bf16     bfloat16 compute dtype
+
+The default (flagless) invocation also measures the two chip-utilization
+variants — the vmapped 5-seed aggregate and bf16 — in subprocesses and
+reports them inside the same single JSON line under "extra" (each entry
+is env-steps/s, or an error string if that variant failed).  Pass
+--no-extras for the headline number alone.
 """
 
 import json
@@ -138,16 +145,36 @@ def main():
     assert int(np.max(state.nonfinite_grads)) == 0
 
     value = iters * num_envs * n_seeds / best
-    print(
-        json.dumps(
-            {
-                "metric": metric,
-                "value": round(value, 1),
-                "unit": "env-steps/s (== learner updates/s)",
-                "vs_baseline": round(value / REFERENCE_CPU_STEPS_PER_S, 1),
-            }
-        )
-    )
+    line = {
+        "metric": metric,
+        "value": round(value, 1),
+        "unit": "env-steps/s (== learner updates/s)",
+        "vs_baseline": round(value / REFERENCE_CPU_STEPS_PER_S, 1),
+    }
+
+    # Flagless run: measure the chip-utilization variants too (VERDICT r2
+    # item 3a) — subprocesses so the set-once compute-dtype/attention
+    # globals and jit caches stay isolated per variant.
+    default_mode = not argv
+    if default_mode:
+        import subprocess
+
+        extra = {}
+        for name, flags in (
+            ("aggregate_5seeds", ["--seeds", "5"]),
+            ("bf16", ["--bf16"]),
+        ):
+            try:
+                out = subprocess.run(
+                    [sys.executable, __file__, *flags, "--no-extras"],
+                    capture_output=True, text=True, timeout=1200,
+                )
+                last = out.stdout.strip().splitlines()[-1]
+                extra[name] = json.loads(last)["value"]
+            except Exception as e:  # noqa: BLE001 - report, don't fail bench
+                extra[name] = f"error: {type(e).__name__}: {e}"[:120]
+        line["extra"] = extra
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -87,7 +87,10 @@ def _make_hallway_env() -> Environment:
     else fall back to the in-tree reconstruction (envs/pomdp.py)."""
     import os
 
-    for d in (os.environ.get("DTQN_TPU_POMDP_DIR", ""), os.getcwd()):
+    repo_data = os.path.normpath(
+        os.path.join(os.path.dirname(__file__), "..", "..", "data")
+    )
+    for d in (os.environ.get("DTQN_TPU_POMDP_DIR", ""), os.getcwd(), repo_data):
         path = os.path.join(d, "hallway.pomdp") if d else ""
         if path and os.path.exists(path):
             from dtqn_tpu.envs.pomdp_parser import (

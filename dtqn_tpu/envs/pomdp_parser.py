@@ -368,3 +368,60 @@ def make_tabular_env(
         init_obs=init_obs,
         max_episode_steps=max_episode_steps,
     )
+
+
+# --------------------------------------------------------------- writer
+def _fmt32(p: float) -> str:
+    """Shortest decimal that round-trips float32 (exact re-parse)."""
+    return np.format_float_positional(np.float32(p), unique=True, trim="0")
+
+
+def pomdp_to_cassandra(
+    T: np.ndarray,
+    O: np.ndarray,
+    R: np.ndarray,
+    start: np.ndarray,
+    discount: float = 0.95,
+    header: str = "",
+) -> str:
+    """Serialize (T [S,A,S], O [A,S,O], R [S,A,S]) to Cassandra .pomdp text.
+
+    Complements the parser: sparse one-entry-per-line form, float32-exact
+    round trip (``parse_pomdp_text(pomdp_to_cassandra(...))`` reproduces
+    the arrays bit-for-bit).  Used to vendor `data/hallway.pomdp` from the
+    in-tree reconstruction (tools/export_pomdp.py) since the classic file
+    cannot be fetched from this offline image.
+    """
+    S, A, _ = T.shape
+    n_obs = O.shape[2]
+    out = []
+    if header:
+        out += [f"# {line}" for line in header.splitlines()]
+    out += [
+        "discount: " + _fmt32(discount),
+        "values: reward",
+        f"states: {S}",
+        f"actions: {A}",
+        f"observations: {n_obs}",
+        "start:",
+        " ".join(_fmt32(p) for p in start),
+        "",
+    ]
+    for a in range(A):
+        for s in range(S):
+            for s2 in np.nonzero(T[s, a])[0]:
+                out.append(f"T: {a} : {s} : {int(s2)} {_fmt32(T[s, a, s2])}")
+    out.append("")
+    for a in range(A):
+        for s2 in range(S):
+            for o in np.nonzero(O[a, s2])[0]:
+                out.append(f"O: {a} : {s2} : {int(o)} {_fmt32(O[a, s2, o])}")
+    out.append("")
+    for s in range(S):
+        for a in range(A):
+            for s2 in np.nonzero(R[s, a])[0]:
+                out.append(
+                    f"R: {a} : {s} : {int(s2)} : * {_fmt32(R[s, a, s2])}"
+                )
+    out.append("")
+    return "\n".join(out)

@@ -132,14 +132,21 @@ def run_sweep(config: ExperimentConfig, seeds: Sequence[int]) -> dict:
         if config.profile_dir and not profiled and int(states.env_steps[0]) > 0:
             # Trace one post-warmup vmapped chunk (compile excluded), as in
             # runner.py — for diagnosing seed-axis scaling on real hardware.
+            # Sync by fetching a data-dependent params element to host:
+            # block_until_ready is unreliable on this platform (CLAUDE.md)
+            # and would let the trace close before device work finishes.
             from dtqn_tpu.utils.profiling import trace_chunks
 
             with trace_chunks(config.profile_dir):
                 states = chunk(states)
-                jax.block_until_ready(states.params)
+                np.asarray(
+                    jax.tree_util.tree_leaves(states.params)[0]
+                ).ravel()[0]
             profiled = True
-            continue
-        states = chunk(states)
+            # Fall through: the profiled chunk gets the same eval/CSV/
+            # checkpoint bookkeeping as any other chunk (no curve gap).
+        else:
+            states = chunk(states)
         step = int(states.env_steps[0])
         hours = (time.time() - start_time) / 3600
 

@@ -3,8 +3,9 @@
 The reference computes the DDQN update as three separate network calls —
 loss forward, no-grad policy argmax selector, no-grad target value
 (`/root/reference/dtqn/agents/dtqn.py:215-241`).  ``Agent.apply_update``
-fuses the two policy-parameter forwards into one batch-concatenated call
-(agents/base.py).  These tests pin the fused implementation to a naive
+runs the two no-grad DDQN lanes (policy selector + target value) as one
+2-lane stacked forward, plus a separate differentiated loss forward
+(agents/base.py).  These tests pin the kept implementation to a naive
 re-implementation: identical loss gradients, hence identical post-update
 parameters under the same optimizer state.
 """

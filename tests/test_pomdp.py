@@ -225,3 +225,66 @@ class TestPomdpFileCLI:
         monkeypatch.delenv("DTQN_TPU_POMDP_DIR")
         env = make_env("POMDP-hallway-episodic-v0")
         assert env.num_actions == 5  # reconstruction fallback
+
+
+class TestVendoredHallway:
+    """The vendored data/hallway.pomdp (exported from the reconstruction;
+    see tools/export_pomdp.py) and the Cassandra writer it rides on."""
+
+    DATA = os.path.join(
+        os.path.dirname(__file__), "..", "data", "hallway.pomdp"
+    )
+
+    def test_vendored_file_matches_reconstruction_bitwise(self):
+        """Guard against staleness: file on disk == make_hallway tables."""
+        ref = make_hallway()
+        parsed = parse_pomdp_text(open(self.DATA).read())
+        assert (len(parsed.states), len(parsed.actions),
+                len(parsed.observations)) == (33, 5, 17)
+        np.testing.assert_array_equal(parsed.T, np.asarray(ref._T))
+        np.testing.assert_array_equal(parsed.O, np.asarray(ref._O))
+        np.testing.assert_array_equal(parsed.R, np.asarray(ref._R))
+        np.testing.assert_array_equal(parsed.start, np.asarray(ref._start))
+
+    def test_native_parser_at_scale(self):
+        """py vs C++ differential on the full-scale vendored file."""
+        from dtqn_tpu.envs.pomdp_parser import parse_pomdp_text_native
+
+        text = open(self.DATA).read()
+        nat = parse_pomdp_text_native(text)
+        if nat is None:
+            pytest.skip("native parser not built")
+        py = parse_pomdp_text(text)
+        np.testing.assert_array_equal(nat.T, py.T)
+        np.testing.assert_array_equal(nat.O, py.O)
+        np.testing.assert_array_equal(nat.R, py.R)
+        np.testing.assert_array_equal(nat.start, py.start)
+
+    def test_registry_defaults_to_vendored_file(self, tmp_path, monkeypatch):
+        """With no override, the hallway env loads data/hallway.pomdp via
+        the parser path and its tables equal the reconstruction's."""
+        monkeypatch.chdir(tmp_path)  # no hallway.pomdp in cwd
+        monkeypatch.delenv("DTQN_TPU_POMDP_DIR", raising=False)
+        env = make_env("POMDP-hallway-episodic-v0")
+        ref = make_hallway()
+        np.testing.assert_array_equal(
+            np.asarray(env._T), np.asarray(ref._T)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(env._terminal), np.asarray(ref._terminal)
+        )
+
+    def test_writer_roundtrip_heavenhell(self):
+        """Writer->parser round trip is float32-exact on a second domain."""
+        from dtqn_tpu.envs.pomdp_parser import pomdp_to_cassandra
+
+        ref = make_heavenhell(3)
+        text = pomdp_to_cassandra(
+            np.asarray(ref._T), np.asarray(ref._O), np.asarray(ref._R),
+            np.asarray(ref._start),
+        )
+        parsed = parse_pomdp_text(text)
+        np.testing.assert_array_equal(parsed.T, np.asarray(ref._T))
+        np.testing.assert_array_equal(parsed.O, np.asarray(ref._O))
+        np.testing.assert_array_equal(parsed.R, np.asarray(ref._R))
+        np.testing.assert_array_equal(parsed.start, np.asarray(ref._start))
