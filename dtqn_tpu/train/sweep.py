@@ -210,6 +210,11 @@ def run_sweep(config: ExperimentConfig, seeds: Sequence[int]) -> dict:
             ckpt.save_mini_checkpoint(ck_path, step, None)
             return final
 
+    # Save the FULL stacked state at completion too (not just on
+    # time-limit): a finished sweep stays extendable — resuming with a
+    # larger --num-steps continues from here with buffer/optimizer/PRNG
+    # state intact instead of restarting from scratch.
+    ckpt.save_checkpoint(ck_path, states)
     ckpt.save_mini_checkpoint(ck_path, int(states.env_steps[0]), None)
     if config.save_policy:
         for i, c in enumerate(seed_cfgs):
