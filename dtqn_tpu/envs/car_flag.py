@@ -78,6 +78,36 @@ class CarFlag(Environment):
             [state.position, state.velocity, hint]
         ).astype(jnp.float32)
 
+    def render_frame(self, state: CarFlagState):
+        """Headless RGB raster of the track — the reference's pyglet
+        window (car_flag.py:135-271: car, heaven/hell flags, priest zone)
+        replaced by a numpy image, composable into enjoy-mode episode
+        strips without a display server.  Returns uint8 [80, 400, 3]."""
+        import numpy as np
+
+        H, W = 80, 400
+        img = np.full((H, W, 3), 255, np.uint8)
+
+        def x2px(x):
+            span = 2 * self.max_position
+            return int(
+                np.clip((float(x) + self.max_position) / span, 0, 1)
+                * (W - 1)
+            )
+
+        img[60:62, :] = 160  # track
+        a = x2px(self.priest_position - self.priest_delta)
+        b = x2px(self.priest_position + self.priest_delta)
+        img[62:68, a:b] = (230, 210, 80)  # priest zone
+        heaven = float(state.heaven)
+        hx = x2px(heaven * self.goal_position)
+        lx = x2px(-heaven * self.goal_position)
+        img[16:60, hx - 2 : hx + 2] = (40, 160, 60)  # heaven flag
+        img[16:60, lx - 2 : lx + 2] = (200, 50, 50)  # hell flag
+        cx = x2px(state.position)
+        img[46:60, max(cx - 5, 0) : cx + 5] = (25, 25, 25)  # car
+        return img
+
     def reset_env(self, key: jax.Array) -> Tuple[jax.Array, CarFlagState]:
         key_side, key_pos = jax.random.split(key)
         heaven = jnp.where(

@@ -31,6 +31,55 @@ from dtqn_tpu.train.loop import (
     make_train_chunk,
 )
 from dtqn_tpu.utils import checkpoint as ckpt
+
+
+def _render_episode(agent, env, params, key, policy_path) -> Optional[str]:
+    """Greedy rollout of one episode with per-step frames, saved as one
+    vertical PNG strip (every 10th frame).  Headless stand-in for the
+    reference's pyglet enjoy loop (run.py:463-467)."""
+    import numpy as np
+
+    from dtqn_tpu import replay as _replay
+
+    try:
+        from PIL import Image
+    except ImportError:
+        return None
+
+    k_env, k_ctx = jax.random.split(key)
+    obs, env_state = env.reset_vec(jax.random.split(k_env, 1))
+    cfg = agent.config
+    context = _replay.init_context(
+        k_ctx, 1, cfg.context_len, tuple(env.obs_shape),
+        env.obs_dtype, env.obs_mask, env.num_actions, obs,
+    )
+    carry = None
+    if cfg.kind == "recurrent":
+        from dtqn_tpu.models.recurrent import zero_carry
+
+        carry = zero_carry(1, cfg.inner_embed)
+    frames = []
+    for t in range(env.max_episode_steps):
+        one = jax.tree_util.tree_map(lambda x: x[0], env_state)
+        frames.append(np.asarray(env.render_frame(one)))
+        actions, carry = agent.greedy_actions(
+            params, context, None, carry, obs
+        )
+        k_env, k_t = jax.random.split(k_env)
+        obs, env_state, ts = jax.vmap(env.step)(
+            k_t[None], env_state, actions
+        )
+        context, *_ = _replay.add_transition(
+            context, ts.obs, actions, ts.reward, ts.terminated
+        )
+        if bool(ts.done[0]):
+            one = jax.tree_util.tree_map(lambda x: x[0], env_state)
+            frames.append(np.asarray(env.render_frame(one)))
+            break
+    strip = np.concatenate(frames[::10] + frames[-1:], axis=0)
+    path = policy_path + "_enjoy.png"
+    Image.fromarray(strip).save(path)
+    return path
 from dtqn_tpu.utils.epsilon import EpsilonSchedule
 from dtqn_tpu.utils.logging import CSVLogger, get_logger, timestamp
 
@@ -118,7 +167,10 @@ def run_experiment(config: ExperimentConfig) -> dict:
         )
 
     # Enjoy mode: load a saved policy and report greedy performance
-    # (run.py:463-467; pyglet rendering replaced by a text report).
+    # (run.py:463-467).  Envs exposing ``render_frame`` (e.g. CarFlag)
+    # additionally get an episode image strip saved next to the policy —
+    # the reference's interactive pyglet window (car_flag.py:135-271)
+    # recast as headless artifacts.
     if config.render:
         params = ckpt.load_policy(policy_path, state.params)
         ev = make_evaluate(agent, eval_envs[0], config.eval_episodes)
@@ -127,7 +179,16 @@ def run_experiment(config: ExperimentConfig) -> dict:
             f"[enjoy] SuccessRate={float(sr):.2f} Return={float(ret):.2f} "
             f"EpisodeLength={float(ln):.1f}"
         )
-        return {"success_rate": float(sr), "return": float(ret)}
+        out = {"success_rate": float(sr), "return": float(ret)}
+        if hasattr(eval_envs[0], "render_frame") and not agent.use_bag:
+            path = _render_episode(
+                agent, eval_envs[0], params,
+                jax.random.key(config.seed + 2), policy_path,
+            )
+            if path:
+                print(f"[enjoy] episode strip saved to {path}")
+                out["render_path"] = path
+        return out
 
     mean_success_rate = HostRunningAverage(10)
     mean_reward = HostRunningAverage(10)
