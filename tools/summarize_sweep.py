@@ -56,6 +56,26 @@ def main():
     if finals:
         print(f"mean final SR: {st.mean(finals):.3f}"
               + (f" +- {st.stdev(finals):.3f}" if len(finals) > 1 else ""))
+        # Cross-seed mean success by training quarter (trend evidence).
+        all_steps = max((s for s, _ in rowsets.values()), key=len)
+        horizon = all_steps[-1]
+        quarters = []
+        for q in range(4):
+            lo, hi = q * horizon / 4, (q + 1) * horizon / 4
+            vals = [
+                x
+                for steps, sr in rowsets.values()
+                for s, x in zip(steps, sr)
+                if lo < s <= hi
+            ]
+            quarters.append(st.mean(vals) if vals else float("nan"))
+        print(
+            "cross-seed mean SR by quarter: "
+            + " -> ".join(f"{v:.2f}" for v in quarters)
+        )
+        # Trailing-20 per-seed mean (the 'still climbing?' check).
+        t20 = [trailing_mean(sr, 20) for _, sr in rowsets.values()]
+        print(f"mean SR last-20 evals: {st.mean(t20):.3f}")
 
 
 if __name__ == "__main__":
