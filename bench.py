@@ -64,6 +64,10 @@ def main():
     from dtqn_tpu.utils.epsilon import EpsilonSchedule
 
     argv = sys.argv[1:]
+    if "--cpu" in argv:
+        # Testing hook: the axon sitecustomize overrides JAX_PLATFORMS, so
+        # CPU runs need the config update (see CLAUDE.md).
+        jax.config.update("jax_platforms", "cpu")
 
     def opt(flag, default):
         return int(argv[argv.index(flag) + 1]) if flag in argv else default
@@ -155,18 +159,20 @@ def main():
     # Flagless run: measure the chip-utilization variants too (VERDICT r2
     # item 3a) — subprocesses so the set-once compute-dtype/attention
     # globals and jit caches stay isolated per variant.
-    default_mode = not argv
+    default_mode = not [a for a in argv if a != "--cpu"]
     if default_mode:
         import subprocess
 
         extra = {}
+        passthrough = ["--cpu"] if "--cpu" in argv else []
         for name, flags in (
             ("aggregate_5seeds", ["--seeds", "5"]),
             ("bf16", ["--bf16"]),
         ):
             try:
                 out = subprocess.run(
-                    [sys.executable, __file__, *flags, "--no-extras"],
+                    [sys.executable, __file__, *flags, "--no-extras",
+                     *passthrough],
                     capture_output=True, text=True, timeout=1200,
                 )
                 last = out.stdout.strip().splitlines()[-1]
