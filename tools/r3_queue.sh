@@ -24,6 +24,12 @@ run() {
   log "END $name (exit $?)"
 }
 
+# 0. Extend the gv sweep to 3M if its 2M curve is still climbing
+# (VERDICT item 1; policy-seeded continuation, see tools/maybe_extend_gv.py)
+log "START maybe-extend-gv"
+python tools/maybe_extend_gv.py >> "$LOGDIR/gv_extend.log" 2>&1
+log "END maybe-extend-gv (exit $?)"
+
 # 1+2. Finish the round-2 runs (VERDICT item 2)
 run heavenhell --envs POMDP-heavenhell_3-episodic-v0 --in-embed 64 --seed 1 \
   --max-episode-steps 50 --project-name validation --save-policy --verbose \
