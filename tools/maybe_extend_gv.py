@@ -9,7 +9,9 @@ mechanism): warm-restart the final policies with fresh buffers, pin the
 counters, and resume to 3M.  Continuation caveat documented in
 VALIDATION.md.
 
-Decision rule: extend iff cross-seed mean of the last 20 evals < 0.75.
+Decision rule: extend iff cross-seed mean of the last 20 evals < 0.75 (also
+serves as crash recovery: if the 2M run died early, the continuation
+resumes from the last policy snapshots toward 3M).
 """
 
 import csv
@@ -58,7 +60,7 @@ def main():
     from dtqn_tpu.config import get_args
     from dtqn_tpu.train.sweep import run_sweep
 
-    cfg = get_args([*base, "--num-steps", "3000000", "--time-limit", "1.05"])
+    cfg = get_args([*base, "--num-steps", "3000000", "--time-limit", "1.4"])
     run_sweep(cfg, [1, 2, 3, 4, 5])
     print("extension done")
 
