@@ -18,6 +18,11 @@ greedy argmax globally.
 Usage: python tools/diagnose_heavenhell.py [policy_path_prefix]
 """
 
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 
 import jax

@@ -12,6 +12,11 @@ except libnethack itself.
 Usage: python tools/host_loop_tpu_smoke.py [num_steps]
 """
 
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 
 import numpy as np

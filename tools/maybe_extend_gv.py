@@ -14,6 +14,11 @@ serves as crash recovery: if the 2M run died early, the continuation
 resumes from the last policy snapshots toward 3M).
 """
 
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import csv
 import glob
 import statistics as st

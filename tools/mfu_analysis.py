@@ -15,6 +15,11 @@ taken from an unrolled single apply_update lowering.
 Usage: python tools/mfu_analysis.py [measured_env_steps_per_s]
 """
 
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import os
 import sys
 

@@ -20,6 +20,11 @@ Usage:
       --seeds 1 2 3 4 5 --at-step 2001792 [other run.py flags]
 """
 
+import os as _os, sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import sys
 
 import jax
