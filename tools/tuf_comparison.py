@@ -19,8 +19,8 @@ import re
 import numpy as np
 
 SETS = [
-    ("10000 (reference default)", "policies/sweep/DiscreteCarFlag-v0/*losses.csv", "policies/sweep/DiscreteCarFlag-v0/*results.csv"),
-    ("1000", "policies/tuf1000/DiscreteCarFlag-v0/*losses.csv", "policies/tuf1000/DiscreteCarFlag-v0/*results.csv"),
+    ("10000 (reference default)", "policies/sweep/DiscreteCarFlag-v0/model=DTQN_*losses.csv", "policies/sweep/DiscreteCarFlag-v0/model=DTQN_*results.csv"),
+    ("1000", "policies/tuf1000/DiscreteCarFlag-v0/model=DTQN_*losses.csv", "policies/tuf1000/DiscreteCarFlag-v0/model=DTQN_*results.csv"),
 ]
 
 
