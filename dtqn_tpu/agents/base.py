@@ -61,6 +61,7 @@ class AgentConfig:
     identity: bool = False
     pos: str = "learned"
     bag_size: int = 0
+    bag_mask: bool = False  # masked-bag-attention ablation (models/dtqn.py)
 
     @property
     def kind(self) -> str:
@@ -121,6 +122,7 @@ class Agent:
             identity=config.identity,
             pos=config.pos,
             bag_size=config.bag_size,
+            bag_mask=config.bag_mask,
         )
         # optax.flatten ravels the ~20-leaf param tree into one contiguous
         # vector so clip+Adam run as a handful of fused kernels instead of

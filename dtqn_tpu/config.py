@@ -57,6 +57,7 @@ class ExperimentConfig:
     identity: bool = False
     pos: str = "learned"
     bag_size: int = 0
+    bag_mask: bool = False  # ablation: mask padded bag slots (models/dtqn.py)
     slurm_job_id: str = "0"
     # TPU-native execution knobs
     num_envs: int = 32  # vectorized env instances
@@ -89,6 +90,7 @@ class ExperimentConfig:
             identity=self.identity,
             pos=self.pos,
             bag_size=self.bag_size,
+            bag_mask=self.bag_mask,
         )
 
     @property
@@ -116,7 +118,8 @@ class ExperimentConfig:
             f"_heads={self.heads}_layers={self.layers}_batch={self.batch}"
             f"_gate={self.gate}_identity={self.identity}"
             f"_history={self.history}_pos={self.pos}_bag={self.bag_size}"
-            f"_seed={self.seed}"
+            + ("_bagmask=True" if self.bag_mask else "")
+            + f"_seed={self.seed}"
         )
 
     def policy_dir(self, root: Optional[str] = None) -> str:
@@ -171,6 +174,9 @@ def get_args(argv=None) -> ExperimentConfig:
     p.add_argument("--identity", action="store_true")
     p.add_argument("--pos", default=d.pos, choices=["learned", "sin", "none"])
     p.add_argument("--bag-size", type=int, default=d.bag_size)
+    p.add_argument("--bag-mask", action="store_true",
+                   help="Ablation: mask padded bag slots in the bag "
+                        "cross-attention (reference attends over padding).")
     p.add_argument("--slurm-job-id", type=str, default=d.slurm_job_id)
     # TPU-native knobs
     p.add_argument("--num-envs", type=int, default=d.num_envs)

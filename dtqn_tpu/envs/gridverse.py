@@ -28,6 +28,27 @@ length 6 with vocabulary 25.
 Grids can be padded to a larger static shape (``pad_to``) so different
 sizes share one state structure — required for multi-domain episode
 sampling (run.py:287 with several ``--envs``).
+
+Reconstruction-ablation variants (round 4, VERDICT item 1): the 7x7 task
+asymptotes ~0.25 SR below the paper, and the reconstruction choices above
+are the suspects.  Each is toggleable via ``+``-suffixes on the env name
+(e.g. ``gv_memory.7x7.yaml+fspawn+walkbeacon``) so arms get distinct run
+names/CSVs automatically:
+
+  - ``walkbeacon``: the beacon does NOT block movement (gym-gridverse
+    grid objects are walkable unless they declare otherwise; our default
+    treats the beacon as furniture)
+  - ``sumenc``: cell token = global_type_index + color_index — the
+    reference wrapper's channel-sum encoding
+    (`/root/reference/envs/gv_wrapper.py:25-30`:
+    ``(grid[:,:,0]+grid[:,:,2]).flatten()``) with gym-gridverse's global
+    object registry indices {Hidden:1, Floor:2, Wall:3, Exit:4, Beacon:10}
+    and vocabulary ``high.max()*2+1`` = 21
+  - ``fspawn``: the agent spawns on a floor cell adjacent to the beacon
+    facing it (beacon color visible at t=0 — tests the spawn-distribution
+    suspect: memory-only task vs ours' find-then-remember task)
+  - ``oracle``: appends the good color as a 7th observation token every
+    step (diagnostic upper bound: no memory needed)
 """
 
 from __future__ import annotations
@@ -46,6 +67,15 @@ HIDDEN, FLOOR, WALL, EXIT, BEACON = 0, 1, 2, 3, 4
 NUM_COLORS = 5  # none, red, green, blue, yellow
 NUM_TYPES = 5
 VOCAB = NUM_TYPES * NUM_COLORS  # 25 tokens
+
+# ``sumenc`` variant: gym-gridverse global object-registry indices for the
+# type channel (grid_object.py registration order: NoneGridObject=0,
+# Hidden=1, Floor=2, Wall=3, Exit=4, ..., Beacon=10); the wrapper sums
+# type + color channels (gv_wrapper.py:25-30) and sizes the MultiDiscrete
+# vocab as high.max()*2+1 with high = Beacon's index 10.
+SUM_TYPE_IDX = np.array([1, 2, 3, 4, 10], np.int32)  # by our type id
+SUM_HIDDEN_TOKEN = 1  # Hidden + Color.NONE
+SUM_VOCAB = 10 * 2 + 1  # 21
 
 # (dy, dx) for orientations N, E, S, W
 # numpy, not jnp: a module-level jnp constant initializes the XLA
@@ -81,6 +111,10 @@ class GridverseMemory(Environment):
         four_rooms: bool = False,
         max_episode_steps: int = 250,
         pad_to: Optional[int] = None,
+        beacon_blocks: bool = True,
+        sum_encoding: bool = False,
+        front_spawn: bool = False,
+        oracle: bool = False,
     ):
         if size < 5 or size % 2 == 0:
             raise ValueError("gridverse memory sizes are odd and >= 5")
@@ -89,15 +123,30 @@ class GridverseMemory(Environment):
         if self.pad < size:
             raise ValueError("pad_to must be >= size")
         self.four_rooms = four_rooms
+        self.beacon_blocks = beacon_blocks
+        self.sum_encoding = sum_encoding
+        self.front_spawn = front_spawn
+        self.oracle = oracle
         variant = "gv_memory_four_rooms" if four_rooms else "gv_memory"
-        self.name = f"{variant}.{size}x{size}.yaml"
+        suffix = "".join(
+            tag
+            for tag, on in (
+                ("+walkbeacon", not beacon_blocks),
+                ("+sumenc", sum_encoding),
+                ("+fspawn", front_spawn),
+                ("+oracle", oracle),
+            )
+            if on
+        )
+        self.name = f"{variant}.{size}x{size}.yaml{suffix}"
         self.max_episode_steps = max_episode_steps
-        self.obs_shape = (6,)  # flattened 2x3 window
+        # Flattened 2x3 window (+1 oracle token).
+        self.obs_shape = (7,) if oracle else (6,)
 
     @property
     def obs_mask(self) -> float:
         # MultiDiscrete rule: max token + 1 (env_processing.py:108-109).
-        return float(VOCAB)
+        return float(SUM_VOCAB if self.sum_encoding else VOCAB)
 
     # ------------------------------------------------------------- building
     def _base_grid(self) -> Tuple[jax.Array, jax.Array]:
@@ -161,12 +210,32 @@ class GridverseMemory(Environment):
         gcolor = gcolor.at[bad_exit[0], bad_exit[1]].set(bad)
         gcolor = gcolor.at[beacon_pos[0], beacon_pos[1]].set(good)
 
-        # Agent spawns on a uniformly random plain floor cell.
-        free = gtype == FLOOR
-        logits = jnp.where(free.reshape(-1), 0.0, -jnp.inf)
-        cell = jax.random.categorical(k_pos, logits)
-        pos = jnp.stack([cell // self.pad, cell % self.pad]).astype(jnp.int32)
-        direction = jax.random.randint(k_dir, (), 0, 4, jnp.int32)
+        if self.front_spawn:
+            # ``fspawn`` variant: spawn on a random floor cell adjacent to
+            # the beacon, facing it, so its color is in view at t=0.
+            offsets = jnp.array(
+                [[-1, 0], [1, 0], [0, -1], [0, 1]], jnp.int32
+            )
+            # Facing the beacon from above/below/left/right => S/N/E/W.
+            facing = jnp.array([2, 0, 1, 3], jnp.int32)
+            nbrs = beacon_pos[None, :] + offsets  # [4, 2]
+            ny = jnp.clip(nbrs[:, 0], 0, self.pad - 1)
+            nx = jnp.clip(nbrs[:, 1], 0, self.pad - 1)
+            ok = gtype[ny, nx] == FLOOR
+            pick = jax.random.categorical(
+                k_pos, jnp.where(ok, 0.0, -jnp.inf)
+            )
+            pos = jnp.stack([ny[pick], nx[pick]]).astype(jnp.int32)
+            direction = facing[pick]
+        else:
+            # Agent spawns on a uniformly random plain floor cell.
+            free = gtype == FLOOR
+            logits = jnp.where(free.reshape(-1), 0.0, -jnp.inf)
+            cell = jax.random.categorical(k_pos, logits)
+            pos = jnp.stack(
+                [cell // self.pad, cell % self.pad]
+            ).astype(jnp.int32)
+            direction = jax.random.randint(k_dir, (), 0, 4, jnp.int32)
 
         state = GridverseState(
             grid_type=gtype,
@@ -187,6 +256,9 @@ class GridverseMemory(Environment):
         gtype = state.grid_type[yc, xc]
         gcolor = state.grid_color[yc, xc]
         shown = in_bounds & visible
+        if self.sum_encoding:
+            tok = jnp.asarray(SUM_TYPE_IDX)[gtype] + gcolor
+            return jnp.where(shown, tok, SUM_HIDDEN_TOKEN)
         return jnp.where(shown, gtype * NUM_COLORS + gcolor, HIDDEN)
 
     def _observe(self, state: GridverseState) -> jax.Array:
@@ -220,6 +292,8 @@ class GridverseMemory(Environment):
             self._cell_token(state, *world(f, l), vis)
             for f, l, vis in cells
         ]
+        if self.oracle:
+            toks.append(state.good_color)
         return jnp.stack(toks).astype(jnp.int32)
 
     # -------------------------------------------------------------- stepping
@@ -246,7 +320,9 @@ class GridverseMemory(Environment):
         ty = jnp.clip(target[0], 0, p - 1)
         tx = jnp.clip(target[1], 0, p - 1)
         ttype = state.grid_type[ty, tx]
-        blocked = (ttype == WALL) | (ttype == BEACON)
+        blocked = ttype == WALL
+        if self.beacon_blocks:
+            blocked = blocked | (ttype == BEACON)
         new_pos = jnp.where(blocked, state.pos, jnp.stack([ty, tx]))
 
         on_exit = state.grid_type[new_pos[0], new_pos[1]] == EXIT
@@ -271,12 +347,24 @@ class GridverseMemory(Environment):
         )
 
 
+_VARIANT_TAGS = ("walkbeacon", "sumenc", "fspawn", "oracle")
+
+
 def make_gridverse_env(name: str, pad_to: Optional[int] = None) -> GridverseMemory:
     """Resolve gv_memory*.yaml names (env_processing.make_env fallback).
 
-    Accepts e.g. ``gv_memory.7x7.yaml`` or ``gv_memory_four_rooms.9x9.yaml``.
+    Accepts e.g. ``gv_memory.7x7.yaml`` or ``gv_memory_four_rooms.9x9.yaml``,
+    optionally with reconstruction-ablation suffixes
+    (``gv_memory.7x7.yaml+fspawn+walkbeacon`` — see the module docstring).
     """
-    base = name[:-5] if name.endswith(".yaml") else name
+    core, *tags = name.split("+")
+    unknown = sorted(set(tags) - set(_VARIANT_TAGS))
+    if unknown:
+        raise KeyError(
+            f"Unknown gridverse variant tags {unknown} in {name!r}; "
+            f"choices: {_VARIANT_TAGS}"
+        )
+    base = core[:-5] if core.endswith(".yaml") else core
     parts = base.split(".")
     if len(parts) != 2 or parts[0] not in (
         "gv_memory",
@@ -288,4 +376,8 @@ def make_gridverse_env(name: str, pad_to: Optional[int] = None) -> GridverseMemo
         size=size,
         four_rooms=parts[0] == "gv_memory_four_rooms",
         pad_to=pad_to,
+        beacon_blocks="walkbeacon" not in tags,
+        sum_encoding="sumenc" in tags,
+        front_spawn="fspawn" in tags,
+        oracle="oracle" in tags,
     )

@@ -42,6 +42,7 @@ def build_network(
     identity: bool = False,
     pos: str = "learned",
     bag_size: int = 0,
+    bag_mask: bool = False,
 ) -> nn.Module:
     if model_str not in MODEL_MAP:
         raise KeyError(f"Unknown model {model_str!r}; choices: {sorted(MODEL_MAP)}")
@@ -65,6 +66,8 @@ def build_network(
             identity=identity,
             pos=pos,
             bag_size=bag_size,
+            bag_mask=bag_mask,
+            obs_mask_value=float(env.obs_mask),
             **common,
         )
     if model_str == "DQN":

@@ -49,6 +49,12 @@ class DTQN(nn.Module):
     identity: bool = False
     pos: str = "learned"
     bag_size: int = 0
+    # Masked-bag-attention ablation (round 4): hide mask-padded bag slots
+    # from the cross-attention instead of attending over them as the
+    # reference does (dtqn.py:201-213).  ``obs_mask_value`` is the env's
+    # padding sentinel, used to detect empty slots.
+    bag_mask: bool = False
+    obs_mask_value: float = 0.0
 
     @nn.compact
     def __call__(
@@ -124,14 +130,34 @@ class DTQN(nn.Module):
                 bag_tokens = jnp.concatenate(
                     [action_embed(bag_actions), bag_tokens], axis=-1
                 )
-            # Unmasked cross-attention over the (possibly padded) bag — the
-            # reference always attends over the full bag (dtqn.py:201-213).
+            # Cross-attention over the (possibly padded) bag.  Reference
+            # behavior (bag_mask=False) always attends over the full bag
+            # (dtqn.py:201-213); the bag_mask=True ablation hides padded
+            # slots (slot invalid when every obs element equals the
+            # padding sentinel) and zeroes the persistent features when
+            # the bag is empty.
+            kv_mask = None
+            if self.bag_mask:
+                slot_dims = tuple(range(2, bag_obss.ndim))
+                pad = jnp.asarray(self.obs_mask_value, bag_obss.dtype)
+                kv_mask = ~jnp.all(bag_obss == pad, axis=slot_dims)
             persistent = MultiHeadAttention(
                 self.inner_embed,
                 self.num_heads,
                 self.dropout,
                 name="bag_attention",
-            )(x, bag_tokens, bag_tokens, deterministic=deterministic)
+            )(
+                x,
+                bag_tokens,
+                bag_tokens,
+                deterministic=deterministic,
+                kv_mask=kv_mask,
+            )
+            if kv_mask is not None:
+                any_valid = jnp.any(kv_mask, axis=-1)
+                persistent = jnp.where(
+                    any_valid[:, None, None], persistent, 0.0
+                )
             head_in = jnp.concatenate([x, persistent], axis=-1)
         else:
             head_in = x

@@ -38,7 +38,10 @@ class MultiHeadAttention(nn.Module):
         *,
         causal: bool = False,
         deterministic: bool = True,
+        kv_mask: jax.Array = None,
     ) -> jax.Array:
+        """``kv_mask`` [B, Lk] bool hides key/value positions (False =
+        masked) — the masked-bag-attention ablation."""
         if self.features % self.num_heads:
             raise ValueError("features must divide num_heads")
 
@@ -64,7 +67,8 @@ class MultiHeadAttention(nn.Module):
             b, lq, e = q.shape
             lk, d = k.shape[1], q.shape[-1] // self.num_heads
             probs = attention_probs(
-                q, k, num_heads=self.num_heads, causal=causal
+                q, k, num_heads=self.num_heads, causal=causal,
+                kv_mask=kv_mask,
             )
             probs = nn.Dropout(self.dropout)(probs, deterministic=False)
             out = jnp.einsum(
@@ -72,7 +76,8 @@ class MultiHeadAttention(nn.Module):
             ).reshape(b, lq, e)
         else:
             out = dot_product_attention(
-                q, k, v, num_heads=self.num_heads, causal=causal
+                q, k, v, num_heads=self.num_heads, causal=causal,
+                kv_mask=kv_mask,
             )
         if self.is_mutable_collection("intermediates"):
             # Head-averaged attention weights for visualization — the
@@ -83,7 +88,8 @@ class MultiHeadAttention(nn.Module):
                 "intermediates",
                 "attention_weights",
                 attention_probs(
-                    q, k, num_heads=self.num_heads, causal=causal
+                    q, k, num_heads=self.num_heads, causal=causal,
+                    kv_mask=kv_mask,
                 ).mean(axis=1),
             )
         return make_dense(self.features, name="out")(out)

@@ -39,8 +39,14 @@ def _xla_attention(
     v: jax.Array,
     *,
     causal: bool,
+    kv_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
-    """Scaled dot-product attention on [B, L, H, D] tensors."""
+    """Scaled dot-product attention on [B, L, H, D] tensors.
+
+    ``kv_mask`` [B, Lk] bool hides key/value positions (False = masked) —
+    used by the masked-bag-attention ablation (the reference always attends
+    over the padded bag, dtqn/networks/dtqn.py:201-213).
+    """
     dim = q.shape[-1]
     scale = 1.0 / jnp.sqrt(jnp.asarray(dim, q.dtype))
     # [B, H, Lq, Lk]
@@ -49,6 +55,10 @@ def _xla_attention(
         lq, lk = scores.shape[-2], scores.shape[-1]
         mask = jnp.tril(jnp.ones((lq, lk), bool), k=lk - lq)
         scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+    if kv_mask is not None:
+        scores = jnp.where(
+            kv_mask[:, None, None, :], scores, jnp.finfo(scores.dtype).min
+        )
     weights = jax.nn.softmax(scores, axis=-1)
     return jnp.einsum("bhlm,bmhd->blhd", weights, v)
 
@@ -59,6 +69,7 @@ def attention_probs(
     *,
     num_heads: int,
     causal: bool = False,
+    kv_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Softmax attention probabilities [B, H, Lq, Lk] on packed inputs.
 
@@ -76,6 +87,10 @@ def attention_probs(
     if causal:
         mask = jnp.tril(jnp.ones((lq, lk), bool), k=lk - lq)
         scores = jnp.where(mask, scores, jnp.finfo(scores.dtype).min)
+    if kv_mask is not None:
+        scores = jnp.where(
+            kv_mask[:, None, None, :], scores, jnp.finfo(scores.dtype).min
+        )
     return jax.nn.softmax(scores, axis=-1)
 
 
@@ -86,6 +101,7 @@ def dot_product_attention(
     *,
     num_heads: int,
     causal: bool = False,
+    kv_mask: Optional[jax.Array] = None,
 ) -> jax.Array:
     """Multi-head attention core with backend dispatch, packed layout.
 
@@ -94,10 +110,17 @@ def dot_product_attention(
         output layout — no head split/transpose needed around the call).
       k, v: [B, Lk, E] keys/values.
       causal: apply a lower-triangular mask (self-attention over time).
+      kv_mask: optional [B, Lk] bool; False hides a key/value position
+        (masked-bag-attention ablation). XLA path only.
 
     Returns [B, Lq, E].
     """
     if _IMPL == "pallas":
+        if kv_mask is not None:
+            raise NotImplementedError(
+                "kv_mask is XLA-only (bag cross-attention never dispatches "
+                "to the fused kernel at bag sizes worth fusing)"
+            )
         from dtqn_tpu.ops.pallas_attention import pallas_attention_packed
 
         return pallas_attention_packed(q, k, v, num_heads, causal)
@@ -109,5 +132,6 @@ def dot_product_attention(
         k.reshape(b, lk, num_heads, d),
         v.reshape(b, lk, num_heads, d),
         causal=causal,
+        kv_mask=kv_mask,
     )
     return out.reshape(b, lq, e)

@@ -359,3 +359,107 @@ class TestResetAudit:
                 assert bool(term)
                 assert float(r) == pytest.approx(4.95 if is_good else -5.05)
                 assert bool(info["is_success"]) == is_good
+
+
+class TestVariants:
+    """Round-4 reconstruction-ablation toggles (VERDICT item 1)."""
+
+    def test_unknown_tag_rejected(self):
+        with pytest.raises(KeyError):
+            make_gridverse_env("gv_memory.7x7.yaml+bogus")
+
+    def test_name_roundtrip(self):
+        env = make_gridverse_env("gv_memory.7x7.yaml+fspawn+walkbeacon")
+        assert not env.beacon_blocks and env.front_spawn
+        # Canonical tag order in the env name (stable run names).
+        assert env.name == "gv_memory.7x7.yaml+walkbeacon+fspawn"
+
+    def test_walkbeacon_is_walkable(self):
+        env = make_gridverse_env("gv_memory.7x7.yaml+walkbeacon")
+        _, st = env.reset_env(jax.random.key(0))
+        # Stand below the beacon (5,3) facing N and step onto it.
+        from dtqn_tpu.envs.gridverse import GridverseState
+
+        st2 = st.replace(
+            pos=jnp.array([4, 3], jnp.int32), direction=jnp.int32(2)  # S
+        )
+        _, new_st, r, term, _ = env.step_env(
+            jax.random.key(0), st2, jnp.int32(0)
+        )
+        assert tuple(np.asarray(new_st.pos)) == (5, 3)  # on the beacon
+        assert not bool(term) and float(r) == pytest.approx(-0.05)
+        # Default env blocks the same move.
+        env_b = make_gridverse_env("gv_memory.7x7.yaml")
+        _, st_b = env_b.reset_env(jax.random.key(0))
+        st2_b = st_b.replace(
+            pos=jnp.array([4, 3], jnp.int32), direction=jnp.int32(2)
+        )
+        _, new_st_b, _, _, _ = env_b.step_env(
+            jax.random.key(0), st2_b, jnp.int32(0)
+        )
+        assert tuple(np.asarray(new_st_b.pos)) == (4, 3)
+
+    def test_sumenc_token_goldens(self):
+        """Channel-sum tokens: Hidden=1, Floor=2, Wall=3, Exit=4+c,
+        Beacon=10+c (gv_wrapper.py:25-30 + the global object registry)."""
+        env = make_gridverse_env("gv_memory.5x5.yaml+sumenc")
+        assert env.obs_mask == 21.0
+        _, st = env.reset_env(jax.random.key(0))
+        from dtqn_tpu.envs.gridverse import GridverseState
+
+        # Face the beacon from above: window row0 = [?, beacon, ?].
+        st2 = st.replace(
+            pos=jnp.array([2, 2], jnp.int32), direction=jnp.int32(2)  # S
+        )
+        obs = np.asarray(env._observe(st2))
+        assert obs[1] == 10 + int(st.good_color)  # beacon ahead
+        assert obs[4] == 2  # floor underfoot
+        # Wrong-facing agent against the top wall sees wall=3 tokens.
+        st3 = st.replace(
+            pos=jnp.array([2, 2], jnp.int32), direction=jnp.int32(0)  # N
+        )
+        obs3 = np.asarray(env._observe(st3))
+        # Directly ahead is an interior floor or exit cell at (1,2): floor.
+        assert obs3[1] == 2
+
+    def test_fspawn_sees_beacon_at_reset(self):
+        env = make_gridverse_env("gv_memory.7x7.yaml+fspawn")
+        spawn_cells = set()
+        for s in range(30):
+            obs, st = env.reset_env(jax.random.key(s))
+            tok = BEACON * NUM_COLORS + int(st.good_color)
+            # Beacon (with the good color) is directly ahead at t=0.
+            assert int(np.asarray(obs)[1]) == tok
+            spawn_cells.add(tuple(np.asarray(st.pos).tolist()))
+        # All three floor neighbors of the beacon occur.
+        assert spawn_cells == {(4, 3), (5, 2), (5, 4)}
+
+    def test_oracle_appends_good_color(self):
+        env = make_gridverse_env("gv_memory.7x7.yaml+oracle")
+        assert env.obs_shape == (7,)
+        obs, st = env.reset_env(jax.random.key(0))
+        assert int(np.asarray(obs)[6]) == int(st.good_color)
+        _, _, ts_obs = None, None, None
+        o2, st2, r, term, _ = env.step_env(
+            jax.random.key(1), st, jnp.int32(4)
+        )
+        assert int(np.asarray(o2)[6]) == int(st.good_color)
+
+    def test_variants_trainable_smoke(self):
+        """Every variant passes through the jitted agent init (shape/vocab
+        wiring: obs_shape 7 for oracle, vocab 21 for sumenc)."""
+        from dtqn_tpu.agents.base import Agent, AgentConfig
+
+        for tag in ("+walkbeacon", "+sumenc", "+fspawn", "+oracle"):
+            env = make_gridverse_env("gv_memory.5x5.yaml" + tag)
+            agent = Agent(
+                AgentConfig(num_envs=2, context_len=8, history=8,
+                            inner_embed=16, num_heads=2, num_layers=1,
+                            buffer_size=500),
+                env,
+            )
+            state = agent.init_state(jax.random.key(0))
+            acts, _ = agent.select_actions(
+                state, jax.random.key(1), jnp.float32(0.5)
+            )
+            assert acts.shape == (2,)

@@ -1,0 +1,37 @@
+#!/bin/bash
+# Run ONE TPU training job under a stall watchdog scoped to that job's PID.
+#
+#   tools/r4_run_watched.sh <name> [run.py args...]
+#
+# Round-3 lesson (VERDICT weak #4): the old watchdog pattern-matched any
+# `python (run|bench).py` and killed the driver's bench process.  This one
+# only ever signals the exact child it started.  TPU-tunnel stalls (the
+# process blocks forever inside a device call while the chip stays healthy
+# for new processes) are detected by artifact staleness: no file under
+# policies/ modified for STALL_MIN minutes while the job is alive.
+set -u
+STALL_MIN="${STALL_MIN:-14}"
+cd /root/repo
+NAME="$1"; shift
+LOGDIR=policies/r4_queue
+mkdir -p "$LOGDIR"
+
+echo "[$(date '+%H:%M:%S')] START $NAME: $*" | tee -a "$LOGDIR/queue.log"
+python run.py "$@" >> "$LOGDIR/$NAME.log" 2>&1 &
+PID=$!
+
+while kill -0 "$PID" 2>/dev/null; do
+  sleep 60
+  newest=$(find policies -type f -newermt "-${STALL_MIN} min" 2>/dev/null | head -1)
+  if [ -z "$newest" ] && kill -0 "$PID" 2>/dev/null; then
+    echo "[$(date '+%H:%M:%S')] $NAME: no artifact activity for ${STALL_MIN}m; killing PID $PID" \
+      | tee -a "$LOGDIR/queue.log"
+    kill "$PID"
+    sleep 10
+    kill -9 "$PID" 2>/dev/null
+  fi
+done
+wait "$PID"
+RC=$?
+echo "[$(date '+%H:%M:%S')] END $NAME (exit $RC)" | tee -a "$LOGDIR/queue.log"
+exit "$RC"
