@@ -161,26 +161,55 @@ def main():
     # globals and jit caches stay isolated per variant.
     default_mode = not [a for a in argv if a != "--cpu"]
     if default_mode:
-        import subprocess
-
         extra = {}
         passthrough = ["--cpu"] if "--cpu" in argv else []
         for name, flags in (
             ("aggregate_5seeds", ["--seeds", "5"]),
             ("bf16", ["--bf16"]),
         ):
-            try:
-                out = subprocess.run(
-                    [sys.executable, __file__, *flags, "--no-extras",
-                     *passthrough],
-                    capture_output=True, text=True, timeout=1200,
-                )
-                last = out.stdout.strip().splitlines()[-1]
-                extra[name] = json.loads(last)["value"]
-            except Exception as e:  # noqa: BLE001 - report, don't fail bench
-                extra[name] = f"error: {type(e).__name__}: {e}"[:120]
+            extra[name] = _run_extra(
+                [sys.executable, __file__, *flags, "--no-extras",
+                 *passthrough]
+            )
         line["extra"] = extra
     print(json.dumps(line))
+
+
+def _run_extra(cmd, soft_deadline_s=900.0):
+    """Run one extras variant without ever SIGKILLing a TPU-attached child.
+
+    A hard kill of a process blocked inside a device call can wedge the
+    TPU grant for subsequent jobs (measured, CLAUDE.md), which round 3's
+    ``subprocess.run(timeout=...)`` risked.  Instead: poll to a soft
+    deadline, send one SIGTERM, give it a grace minute, then ABANDON the
+    child (leave it running, report the timeout) so the flagless bench —
+    the driver contract — always exits promptly with its headline.
+    """
+    import subprocess
+
+    try:
+        child = subprocess.Popen(
+            cmd, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL, text=True
+        )
+    except Exception as e:  # noqa: BLE001 - report, don't fail bench
+        return f"error: {type(e).__name__}: {e}"[:120]
+    deadline = time.monotonic() + soft_deadline_s
+    while child.poll() is None and time.monotonic() < deadline:
+        time.sleep(2.0)
+    if child.poll() is None:
+        child.terminate()  # soft; a stalled device call may ignore it
+        grace = time.monotonic() + 60.0
+        while child.poll() is None and time.monotonic() < grace:
+            time.sleep(2.0)
+        if child.poll() is None:
+            return "error: timeout (child left running, not SIGKILLed)"
+        return "error: soft-timeout (child SIGTERMed after deadline)"
+    try:
+        out = child.stdout.read()
+        last = out.strip().splitlines()[-1]
+        return json.loads(last)["value"]
+    except Exception as e:  # noqa: BLE001
+        return f"error: {type(e).__name__}: {e}"[:120]
 
 
 if __name__ == "__main__":

@@ -215,15 +215,22 @@ def _draw_windows(buf, key, batch_size, context_len):
     return rows, starts
 
 
-def _gather_window(buf, row, start, context_len):
-    obs_slice = jax.lax.dynamic_slice_in_dim(
-        buf.obs[row], start, context_len + 1, axis=0
-    )
-    act_slice = jax.lax.dynamic_slice_in_dim(
-        buf.action[row], start, context_len + 1, axis=0
-    )
-    rew = jax.lax.dynamic_slice_in_dim(buf.reward[row], start, context_len, 0)
-    don = jax.lax.dynamic_slice_in_dim(buf.done[row], start, context_len, 0)
+def _gather_windows(buf, rows, starts, context_len):
+    """Batched context-window gather: ONE gather HLO per storage leaf.
+
+    A vmapped ``dynamic_slice`` (the previous implementation) unrolls to
+    ``batch_size`` separate 0.5µs dynamic-slice ops per leaf per update on
+    TPU — the single biggest op class in the round-3 device trace (~4.5%
+    of chunk device time at B=32).  Integer-array indexing lowers to one
+    gather per leaf instead; windows are identical (starts are clipped so
+    start + L <= T by construction in ``_draw_windows``).
+    """
+    t_idx = starts[:, None] + jnp.arange(context_len + 1)[None, :]  # [B,L+1]
+    rows_b = rows[:, None]
+    obs_slice = buf.obs[rows_b, t_idx]
+    act_slice = buf.action[rows_b, t_idx]
+    rew = buf.reward[rows_b, t_idx[:, :context_len]]
+    don = buf.done[rows_b, t_idx[:, :context_len]]
     return obs_slice, act_slice, rew, don
 
 
@@ -232,9 +239,7 @@ def sample(
 ) -> Batch:
     """Uniform (valid episode, window start) batch (replay_buffer.py:137-168)."""
     rows, starts = _draw_windows(buf, key, batch_size, context_len)
-    obs_s, act_s, rew, don = jax.vmap(
-        lambda r, s: _gather_window(buf, r, s, context_len)
-    )(rows, starts)
+    obs_s, act_s, rew, don = _gather_windows(buf, rows, starts, context_len)
     return Batch(
         obs=obs_s[:, :context_len],
         action=act_s[:, :context_len],
@@ -266,9 +271,7 @@ def sample_with_bag(
     """
     k_draw, k_bag = jax.random.split(key)
     rows, starts = _draw_windows(buf, k_draw, batch_size, context_len)
-    obs_s, act_s, rew, don = jax.vmap(
-        lambda r, s: _gather_window(buf, r, s, context_len)
-    )(rows, starts)
+    obs_s, act_s, rew, don = _gather_windows(buf, rows, starts, context_len)
 
     t_slots = buf.max_episode_steps
     scores = jax.random.uniform(k_bag, (batch_size, t_slots))

@@ -76,7 +76,9 @@ def _render_episode(agent, env, params, key, policy_path) -> Optional[str]:
             one = jax.tree_util.tree_map(lambda x: x[0], env_state)
             frames.append(np.asarray(env.render_frame(one)))
             break
-    strip = np.concatenate(frames[::10] + frames[-1:], axis=0)
+    # Tail frame only when frames[::10] didn't already end on it.
+    tail = frames[-1:] if (len(frames) - 1) % 10 else []
+    strip = np.concatenate(frames[::10] + tail, axis=0)
     path = policy_path + "_enjoy.png"
     Image.fromarray(strip).save(path)
     return path

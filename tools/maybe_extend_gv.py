@@ -16,7 +16,8 @@ resumes from the last policy snapshots toward 3M).
 
 import os as _os, sys as _sys
 
-_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+_sys.path.insert(0, _REPO)
 
 
 import csv
@@ -25,7 +26,11 @@ import statistics as st
 
 THRESH = 0.75
 ENV = "gv_memory.7x7.yaml"
-PATTERN = f"policies/sweep/{ENV}/*bag=0_seed=*_results.csv"
+# Anchored to the repo root (like the sys.path shim) so the tool works
+# from any cwd, not just the repo root.
+PATTERN = _os.path.join(
+    _REPO, "policies", "sweep", ENV, "*bag=0_seed=*_results.csv"
+)
 
 
 def main():

@@ -14,13 +14,26 @@ Usage: python tools/tuf_comparison.py
 
 import csv
 import glob
+import os
 import re
 
 import numpy as np
 
+# Anchored to the repo root so the tool works from any cwd.
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _p(*parts):
+    return os.path.join(_REPO, "policies", *parts)
+
+
 SETS = [
-    ("10000 (reference default)", "policies/sweep/DiscreteCarFlag-v0/model=DTQN_*losses.csv", "policies/sweep/DiscreteCarFlag-v0/model=DTQN_*results.csv"),
-    ("1000", "policies/tuf1000/DiscreteCarFlag-v0/model=DTQN_*losses.csv", "policies/tuf1000/DiscreteCarFlag-v0/model=DTQN_*results.csv"),
+    ("10000 (reference default)",
+     _p("sweep", "DiscreteCarFlag-v0", "model=DTQN_*losses.csv"),
+     _p("sweep", "DiscreteCarFlag-v0", "model=DTQN_*results.csv")),
+    ("1000",
+     _p("tuf1000", "DiscreteCarFlag-v0", "model=DTQN_*losses.csv"),
+     _p("tuf1000", "DiscreteCarFlag-v0", "model=DTQN_*results.csv")),
 ]
 
 
