@@ -226,26 +226,52 @@ def make_heavenhell(n: int = 3, max_episode_steps: int = 40) -> TabularPOMDP:
 
 
 def make_hallway(max_episode_steps: int = 100) -> TabularPOMDP:
-    """Hallway-class navigation POMDP (reconstruction; see module docstring).
+    """Hallway navigation POMDP at the classic problem's dimensions.
 
-    A 5-cell corridor with 3 alcoves hanging off cells 1..3; the goal sits
-    in the middle alcove.  State = (cell, orientation) with 4 orientations;
-    actions: 0=stay, 1=forward, 2=turn-right, 3=turn-left, 4=turn-around.
-    Movement succeeds w.p. 0.8 (stays otherwise); turns are exact.
-    Observations: 16 wall configurations (front/right/back/left bits) seen
-    with 0.95-correct per-bit noise, plus a distinct goal observation.
-    Entering the goal cell gives +1 and terminates.  Start: uniform over
-    non-goal states.
+    Littman, Cassandra & Kaelbling '95's Hallway is the benchmark the
+    reference trains via gym-pomdps (`/root/reference/README.md:102-103`).
+    The exact Cassandra ``hallway.pomdp`` tables are unobtainable offline
+    (no package on this host, no network, paper appendix unavailable);
+    this reconstruction matches every dimension the benchmark literature
+    documents for the problem — **60 states** (15 cells x 4 orientations),
+    **5 actions**, **21 observations**, +1 reward only on reaching the
+    goal, uniform non-goal start, noisy actions AND noisy observations —
+    and marks the structural details it had to choose as such below.
+    (Round 3 shipped an 8-cell/33-state/17-obs version that was easier
+    than the classic domain; this replaces it.)
+
+    Map (reconstructed from the published figure): an 11-cell corridor
+    with 4 alcove cells hanging below corridor cells 2, 4, 6, 8; the goal
+    is the star in the third alcove (below corridor cell 6).
+
+    State = (cell, orientation N/E/S/W); the 4 goal-cell states are
+    terminal (entering any of them pays +1) => 60 states total, no extra
+    absorbing index.
+
+    Actions 0=stay, 1=forward, 2=turn-right, 3=turn-left, 4=turn-around.
+    Action noise (the paper describes actions as very noisy; exact values
+    are a reconstruction choice): forward = 0.8 success / 0.1 stay /
+    0.05 slip into each adjacent turn; turns = 0.9 success / 0.1 stay;
+    stay is exact.
+
+    Observations: 16 front/right/back/left wall configurations with
+    0.95-correct per-bit noise; obs 16..19 identify each alcove when the
+    agent stands in the corridor cell above it facing it (landmarks); obs
+    20 is the goal star, seen in the goal alcove.  Landmark/star cells
+    emit their special observation w.p. 0.9, else fall back to the noisy
+    wall-config model.  => 21 observations.
     """
-    CORRIDOR = 5
-    cells = [(c, 0) for c in range(CORRIDOR)] + [(1, 1), (2, 1), (3, 1)]
-    goal_cell = cells.index((2, 1))
-    C = len(cells)
+    CORRIDOR = 11
+    ALCOVE_XS = [2, 4, 6, 8]
+    cells = [(c, 0) for c in range(CORRIDOR)] + [(x, 1) for x in ALCOVE_XS]
+    goal_cell = cells.index((6, 1))
+    C = len(cells)  # 15
     DIRS = [(0, -1), (1, 0), (0, 1), (-1, 0)]  # N, E, S, W (y down)
-    S = C * 4 + 1
+    S = C * 4  # 60
     A = 5
-    n_obs = 17  # 16 wall configs + goal
-    absorbing = S - 1
+    n_obs = 21
+    OBS_STAR = 20
+    alcove_of = {cells.index((x, 1)): k for k, x in enumerate(ALCOVE_XS)}
 
     cell_at = {xy: i for i, xy in enumerate(cells)}
 
@@ -256,51 +282,76 @@ def make_hallway(max_episode_steps: int = 100) -> TabularPOMDP:
     O = np.zeros((A, S, n_obs), np.float32)
     R = np.zeros((S, A, S), np.float32)
     terminal = np.zeros((S,), bool)
-    terminal[absorbing] = True
+    for d in range(4):
+        terminal[sidx(goal_cell, d)] = True
 
     def forward_cell(cell, d):
         x, y = cells[cell]
         dx, dy = DIRS[d]
         return cell_at.get((x + dx, y + dy))
 
+    def add_move(s, a, cell, d, p):
+        """Accumulate outcome (cell, d) w.p. p, paying +1 into the goal."""
+        s2 = sidx(cell, d)
+        T[s, a, s2] += p
+        if cell == goal_cell:
+            R[s, a, s2] = 1.0
+
     for cell in range(C):
         for d in range(4):
             s = sidx(cell, d)
-            # stay
+            if terminal[s]:
+                T[s, :, s] = 1.0  # never sampled from; keep rows stochastic
+                continue
+            # stay: exact
             T[s, 0, s] = 1.0
-            # forward: 0.8 success
+            # forward: 0.8 success / 0.1 stay / 0.05 slip into each turn
             tgt = forward_cell(cell, d)
             if tgt is None:
-                T[s, 1, s] = 1.0
-            elif tgt == goal_cell:
-                T[s, 1, absorbing] = 0.8
-                R[s, 1, absorbing] = 1.0
-                T[s, 1, s] = 0.2
+                add_move(s, 1, cell, d, 0.8 + 0.1)  # bump: stays
             else:
-                T[s, 1, sidx(tgt, d)] = 0.8
-                T[s, 1, s] = 0.2
-            # turns are deterministic
-            T[s, 2, sidx(cell, (d + 1) % 4)] = 1.0
-            T[s, 3, sidx(cell, (d + 3) % 4)] = 1.0
-            T[s, 4, sidx(cell, (d + 2) % 4)] = 1.0
+                add_move(s, 1, tgt, d, 0.8)
+                add_move(s, 1, cell, d, 0.1)
+            add_move(s, 1, cell, (d + 1) % 4, 0.05)
+            add_move(s, 1, cell, (d + 3) % 4, 0.05)
+            # turns: 0.9 success / 0.1 stay
+            for a, nd in ((2, (d + 1) % 4), (3, (d + 3) % 4),
+                          (4, (d + 2) % 4)):
+                add_move(s, a, cell, nd, 0.9)
+                add_move(s, a, cell, d, 0.1)
 
-    T[absorbing, :, absorbing] = 1.0  # absorbing self-loop
-
-    # Wall-configuration observations with per-bit noise.
+    # Observations.
     P_BIT = 0.95
+    P_SPECIAL = 0.9
     for cell in range(C):
         for d in range(4):
             s = sidx(cell, d)
             walls = [
                 forward_cell(cell, (d + k) % 4) is None for k in range(4)
             ]  # front, right, back, left relative bits
+            wall_probs = np.zeros((n_obs,), np.float32)
             for o in range(16):
                 p = 1.0
                 for b in range(4):
                     bit = (o >> b) & 1
                     p *= P_BIT if bit == int(walls[b]) else 1.0 - P_BIT
-                O[:, s, o] = p
-    O[:, absorbing, 16] = 1.0  # goal observation
+                wall_probs[o] = p
+            special = None
+            if cell == goal_cell:
+                special = OBS_STAR
+            elif cell in alcove_of and cell != goal_cell:
+                pass  # non-goal alcoves look like dead ends (walls only)
+            else:
+                # Corridor cell above an alcove, facing it (south):
+                # landmark identifying WHICH alcove.
+                below = forward_cell(cell, 2)
+                if below is not None and below in alcove_of and d == 2:
+                    special = 16 + alcove_of[below]
+            if special is None:
+                O[:, s] = wall_probs
+            else:
+                O[:, s] = (1.0 - P_SPECIAL) * wall_probs
+                O[:, s, special] += P_SPECIAL
 
     start = np.zeros((S,), np.float32)
     for cell in range(C):

@@ -240,7 +240,7 @@ class TestVendoredHallway:
         ref = make_hallway()
         parsed = parse_pomdp_text(open(self.DATA).read())
         assert (len(parsed.states), len(parsed.actions),
-                len(parsed.observations)) == (33, 5, 17)
+                len(parsed.observations)) == (60, 5, 21)
         np.testing.assert_array_equal(parsed.T, np.asarray(ref._T))
         np.testing.assert_array_equal(parsed.O, np.asarray(ref._O))
         np.testing.assert_array_equal(parsed.R, np.asarray(ref._R))
