@@ -288,3 +288,43 @@ class TestVendoredHallway:
         np.testing.assert_array_equal(parsed.O, np.asarray(ref._O))
         np.testing.assert_array_equal(parsed.R, np.asarray(ref._R))
         np.testing.assert_array_equal(parsed.start, np.asarray(ref._start))
+
+
+class TestHallwayClassicDimensions:
+    """Round-4 upgrade: the reconstruction matches every documented
+    dimension of Littman-Cassandra-Kaelbling Hallway (60/5/21)."""
+
+    def test_dimensions_and_stochasticity(self):
+        env = make_hallway()
+        assert (env.num_states, env.num_actions, env.num_obs) == (60, 5, 21)
+        T = np.asarray(env._T)
+        O = np.asarray(env._O)
+        np.testing.assert_allclose(T.sum(-1), 1.0, atol=1e-6)
+        np.testing.assert_allclose(O.sum(-1), 1.0, atol=1e-6)
+        # Exactly one goal cell => 4 terminal orientation states.
+        assert int(np.asarray(env._terminal).sum()) == 4
+        # +1 reward only into goal states.
+        R = np.asarray(env._R)
+        term = np.asarray(env._terminal)
+        assert set(np.unique(R)) <= {0.0, 1.0}
+        assert R[:, :, ~term].max() == 0.0 and R[:, :, term].max() == 1.0
+        # Start: uniform over the 56 non-goal states.
+        start = np.asarray(env._start)
+        assert np.allclose(start[term], 0.0)
+        assert np.allclose(start[~term], 1.0 / 56)
+
+    def test_noisy_forward_and_landmarks(self):
+        env = make_hallway()
+        T = np.asarray(env._T)
+        O = np.asarray(env._O)
+        # Corridor cell 0 facing E (state 1): forward moves w.p. 0.8.
+        s = 0 * 4 + 1
+        assert T[s, 1].max() == pytest.approx(0.8)
+        # The goal alcove emits the star (obs 20) w.p. 0.9.
+        term = np.where(np.asarray(env._terminal))[0]
+        for s in term:
+            assert O[0, s, 20] == pytest.approx(0.9, abs=1e-3)
+        # Landmark observations 16..19 each appear with weight 0.9
+        # somewhere (the facing-the-alcove corridor states).
+        for lm in (16, 17, 18, 19):
+            assert O[0, :, lm].max() == pytest.approx(0.9, abs=1e-3)

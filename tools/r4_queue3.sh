@@ -1,10 +1,12 @@
 #!/bin/bash
-# Round-4 queue, part 3: waits for queue2 (PID $1), then runs
+# Round-4 queue, part 3 (revised): waits for queue2 (PID $1), then runs
 #   1. masked-bag-attention ablation, gv7x7, 2 seeds x 2M (VERDICT item 2)
-#   2. family evidence (VERDICT item 4): ADRQN/DRQN tuf=1000 resumed
+#   2. fspawn winner arm extended to 2M via sweep-checkpoint resume
+#      (VERDICT item 1 full-length run of the winning config)
+#   3. family evidence (VERDICT item 4): ADRQN/DRQN tuf=1000 resumed
 #      600k -> 1M, HeavenHell at tuf=1000, DQN on Memory-5, DARQN on
 #      CarFlag
-#   3. sumenc encoding arm (VERDICT item 1c)
+#   4. sumenc encoding arm (VERDICT item 1c)
 # Every job runs under the per-PID stall watchdog and carries a
 # --time-limit so it checkpoints rather than overrunning; all resumable.
 set -u
@@ -23,6 +25,11 @@ tools/r4_run_watched.sh bagmask \
   --envs gv_memory.7x7.yaml --bag-size 25 --bag-mask --seeds 1 2 \
   --num-steps 2000000 --project-name r4bagmask --save-policy --verbose \
   --disable-wandb --time-limit 1.6
+
+tools/r4_run_watched.sh fspawn_2m \
+  --envs gv_memory.7x7.yaml+fspawn --seeds 1 2 3 --num-steps 2000000 \
+  --project-name r4ablate --save-policy --verbose --disable-wandb \
+  --time-limit 0.9
 
 tools/r4_run_watched.sh adrqn_extend \
   --envs DiscreteCarFlag-v0 --model ADRQN --in-embed 64 --a-embed 8 \
