@@ -30,6 +30,7 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     train_env_name, eval_env_name = args[0], args[1]
     episodes = int(args[2]) if len(args) > 2 else 100
+    project = args[3] if len(args) > 3 else "r4ablate"
 
     from dtqn_tpu.utils import enable_persistent_compilation_cache
 
@@ -53,8 +54,9 @@ def main():
     agent = Agent(cfg, train_env)
 
     pat = _os.path.join(
-        _REPO, "policies", "r4ablate", train_env_name,
-        "*seed=*_policy.msgpack",
+        _REPO, "policies", project, train_env_name,
+        "*bag=0_seed=*_policy.msgpack"
+        if project == "sweep" else "*seed=*_policy.msgpack",
     )
     files = sorted(
         glob.glob(pat),
@@ -69,7 +71,8 @@ def main():
     print("|---|---|---|---|")
     for path in files:
         seed = int(re.search(r"seed=(\d+)_", path).group(1))
-        params = ckpt.load_policy(path, template)
+        # load_policy appends the suffix itself.
+        params = ckpt.load_policy(path[: -len("_policy.msgpack")], template)
         sr, ret, ln = evaluate(params, jax.random.key(1000 + seed))
         print(
             f"| {train_env_name} | {eval_env_name} | {seed} "
