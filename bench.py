@@ -75,6 +75,7 @@ def main():
     bag = opt("--bag", 0)
     n_seeds = opt("--seeds", 1)
     presample = opt("--presample", -1)  # -1 auto, 0 off, 1 on
+    unroll = opt("--unroll", 1)  # update-scan unroll factor
     if "--attention" in argv:
         from dtqn_tpu.ops.attention import set_attention_impl
 
@@ -119,6 +120,7 @@ def main():
         updates_per_iter=num_envs,
         iters_per_chunk=iters,
         presample=None if presample < 0 else bool(presample),
+        unroll=unroll,
     )
     if n_seeds > 1:
         keys = jax.numpy.stack(

@@ -76,10 +76,17 @@ def make_train_chunk_fn(
     updates_per_iter: int,
     iters_per_chunk: int,
     presample: Optional[bool] = None,
+    unroll: int = 1,
 ):
     """Un-jitted chunk body: advance ``iters_per_chunk`` iterations (E env
     steps + ``updates_per_iter`` gradient steps each).  ``parallel.mesh``
-    re-jits this with explicit shardings for multi-chip runs."""
+    re-jits this with explicit shardings for multi-chip runs.
+
+    ``unroll`` unrolls the sequential update scan by that factor —
+    the round-3 trace showed ~5% of chunk device time in while-loop
+    bookkeeping; unrolling trades compile time for fewer loop
+    iterations (measured via ``bench.py --unroll N`` before changing
+    any default)."""
 
     # ``presample=True`` gathers all of an iteration's batches in one
     # vmapped presample before the update scan (the buffer is frozen
@@ -114,7 +121,8 @@ def make_train_chunk_fn(
                     return agent.apply_update(st, batch, k), None
 
                 state, _ = jax.lax.scan(
-                    one_update, state, (update_keys, batches)
+                    one_update, state, (update_keys, batches),
+                    unroll=unroll,
                 )
             else:
                 def one_update(st, k):
@@ -124,6 +132,7 @@ def make_train_chunk_fn(
                     one_update,
                     state,
                     jax.random.split(k_learn, updates_per_iter),
+                    unroll=unroll,
                 )
         state = state.replace(
             epsilon=eps_schedule.anneal(state.epsilon, agent.config.num_envs)
