@@ -159,3 +159,32 @@ class TestEvaluate:
         b = ev(state.params, jax.random.key(7))
         for x, y in zip(a, b):
             assert float(x) == float(y)
+
+
+class TestUnroll:
+    def test_unroll_matches_rolled_scan(self):
+        """unroll=4 is the same computation as unroll=1 (same keys, same
+        update sequence) — only the loop structure changes."""
+        from dtqn_tpu.train.loop import make_train_chunk_fn
+        from dtqn_tpu.utils.epsilon import EpsilonSchedule
+        import numpy as np
+
+        env, agent, state = boot(small_config(), prepop_iters=200)
+        eps = EpsilonSchedule(1.0, 0.1, 1000)
+        copy = lambda s: jax.tree_util.tree_map(lambda x: x.copy(), s)
+        outs = []
+        for unroll in (1, 4):
+            chunk = jax.jit(
+                make_train_chunk_fn(agent, eps, 4, 3, unroll=unroll),
+                donate_argnums=(0,),
+            )
+            s2 = chunk(copy(state))
+            outs.append(s2)
+        a, b = outs
+        assert int(a.train_steps) == int(b.train_steps) > 0
+        pa = jax.tree_util.tree_leaves(a.params)
+        pb = jax.tree_util.tree_leaves(b.params)
+        for x, y in zip(pa, pb):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=2e-5, atol=2e-6
+            )
