@@ -75,7 +75,7 @@ def main():
     bag = opt("--bag", 0)
     n_seeds = opt("--seeds", 1)
     presample = opt("--presample", -1)  # -1 auto, 0 off, 1 on
-    unroll = opt("--unroll", 1)  # update-scan unroll factor
+    unroll = opt("--unroll", 4)  # update-scan unroll factor (the default)
     if "--attention" in argv:
         from dtqn_tpu.ops.attention import set_attention_impl
 
@@ -177,7 +177,7 @@ def main():
     print(json.dumps(line))
 
 
-def _run_extra(cmd, soft_deadline_s=900.0):
+def _run_extra(cmd, soft_deadline_s=1500.0):
     """Run one extras variant without ever SIGKILLing a TPU-attached child.
 
     A hard kill of a process blocked inside a device call can wedge the
