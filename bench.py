@@ -76,6 +76,7 @@ def main():
     n_seeds = opt("--seeds", 1)
     presample = opt("--presample", -1)  # -1 auto, 0 off, 1 on
     unroll = opt("--unroll", 4)  # update-scan unroll factor (the default)
+    outer_unroll = opt("--outer-unroll", 1)  # outer iteration-scan unroll
     if "--attention" in argv:
         from dtqn_tpu.ops.attention import set_attention_impl
 
@@ -121,6 +122,7 @@ def main():
         iters_per_chunk=iters,
         presample=None if presample < 0 else bool(presample),
         unroll=unroll,
+        outer_unroll=outer_unroll,
     )
     if n_seeds > 1:
         keys = jax.numpy.stack(
@@ -188,6 +190,7 @@ def _run_extra(cmd, soft_deadline_s=1500.0):
     the driver contract — always exits promptly with its headline.
     """
     import subprocess
+    import threading
 
     try:
         child = subprocess.Popen(
@@ -195,6 +198,14 @@ def _run_extra(cmd, soft_deadline_s=1500.0):
         )
     except Exception as e:  # noqa: BLE001 - report, don't fail bench
         return f"error: {type(e).__name__}: {e}"[:120]
+    # Drain stdout from a thread while polling: a child that writes more
+    # than the OS pipe buffer (~64KB) before exiting would otherwise block
+    # on write and be misreported as a timeout (round-4 advisor finding).
+    chunks = []
+    reader = threading.Thread(
+        target=lambda: chunks.append(child.stdout.read()), daemon=True
+    )
+    reader.start()
     deadline = time.monotonic() + soft_deadline_s
     while child.poll() is None and time.monotonic() < deadline:
         time.sleep(2.0)
@@ -207,7 +218,8 @@ def _run_extra(cmd, soft_deadline_s=1500.0):
             return "error: timeout (child left running, not SIGKILLed)"
         return "error: soft-timeout (child SIGTERMed after deadline)"
     try:
-        out = child.stdout.read()
+        reader.join(timeout=30.0)
+        out = "".join(chunks)
         last = out.strip().splitlines()[-1]
         return json.loads(last)["value"]
     except Exception as e:  # noqa: BLE001

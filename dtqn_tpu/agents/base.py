@@ -62,6 +62,10 @@ class AgentConfig:
     pos: str = "learned"
     bag_size: int = 0
     bag_mask: bool = False  # masked-bag-attention ablation (models/dtqn.py)
+    # Train on stored ACT-TIME bags instead of random pre-window subsets —
+    # closes the reference's train/act bag-distribution mismatch
+    # (replay/buffer.py sample_with_stored_bag; round-5 decline ablation).
+    bag_store: bool = False
 
     @property
     def kind(self) -> str:
@@ -135,6 +139,7 @@ class Agent:
             )
         )
         self.use_bag = "DTQN" in config.model and config.bag_size > 0
+        self.store_act_bags = self.use_bag and config.bag_store
 
     # ------------------------------------------------------------------ init
     def _init_params(self, key: jax.Array):
@@ -212,6 +217,7 @@ class Agent:
             obs_shape=tuple(env.obs_shape),
             obs_dtype=env.obs_dtype,
             obs_mask=env.obs_mask,
+            act_bag_size=cfg.bag_size if self.store_act_bags else 0,
         )
         buffer = replay.store_first_obs(
             buffer, obs, jnp.ones((cfg.num_envs,), bool), env.obs_mask
@@ -307,12 +313,16 @@ class Agent:
         return jnp.where(explore, randoms, greedy), carry
 
     # ------------------------------------------------------------ bag logic
-    def _bag_evict(self, params, context, bag, evicted_obs, evicted_act, need):
+    def _bag_evict(
+        self, params, context, bag, evicted_obs, evicted_act, evicted_idx,
+        need,
+    ):
         """Q-driven bag eviction (dtqn/agents/dtqn.py:125-157), vectorized.
 
         For envs where the bag rejected the evicted pair, score bag_size+1
         candidate bags (replace slot i / drop the evictee) by mean-over-seq
-        of max-over-action Q and keep the argmax.
+        of max-over-action Q and keep the argmax.  ``evicted_idx`` is the
+        evictee's episode obs index, tracked alongside for --bag-store.
         """
         cfg = self.config
         e_count, bag_size = bag.obs.shape[0], cfg.bag_size
@@ -324,6 +334,9 @@ class Agent:
         cand_act = jnp.broadcast_to(
             bag.action[:, None], (e_count, n_cand, bag_size)
         )
+        cand_idx = jnp.broadcast_to(
+            bag.obs_idx[:, None], (e_count, n_cand, bag_size)
+        )
         slot = jnp.arange(n_cand)[None, :, None]  # candidate i replaces slot i
         replace = slot == jnp.arange(bag_size)[None, None, :]
         obs_nd = (1,) * (bag.obs.ndim - 2)
@@ -333,6 +346,7 @@ class Agent:
             cand_obs,
         )
         cand_act = jnp.where(replace, evicted_act[:, None, None], cand_act)
+        cand_idx = jnp.where(replace, evicted_idx[:, None, None], cand_idx)
 
         tile = lambda x: jnp.repeat(x, n_cand, axis=0)
         q = self.network.apply(
@@ -347,13 +361,16 @@ class Agent:
         e = jnp.arange(e_count)
         chosen_obs = cand_obs[e, best]
         chosen_act = cand_act[e, best]
+        chosen_idx = cand_idx[e, best]
 
         def pick(new, old):
             cond = need.reshape((-1,) + (1,) * (old.ndim - 1))
             return jnp.where(cond, new, old)
 
         return bag.replace(
-            obs=pick(chosen_obs, bag.obs), action=pick(chosen_act, bag.action)
+            obs=pick(chosen_obs, bag.obs),
+            action=pick(chosen_act, bag.action),
+            obs_idx=pick(chosen_idx, bag.obs_idx),
         )
 
     def observe(
@@ -370,14 +387,19 @@ class Agent:
         )
         bag = state.bag
         if self.use_bag:
-            bag, accepted = replay.bag_add(bag, ev_obs, ev_act, was_full)
+            # Evicted entry = the context's oldest: episode obs index t - L
+            # where t is the just-incremented transition count.
+            ev_idx = context.timestep - self.config.context_len
+            bag, accepted = replay.bag_add(bag, ev_obs, ev_act, ev_idx, was_full)
             overflow = jnp.logical_and(was_full, jnp.logical_not(accepted))
             bag = self._bag_evict(
-                state.params, context, bag, ev_obs, ev_act, overflow
+                state.params, context, bag, ev_obs, ev_act, ev_idx, overflow
             )
         buffer = replay.store_step(
             state.buffer, next_obs, action, reward, buffer_done
         )
+        if self.store_act_bags:
+            buffer = replay.store_act_bag(buffer, bag.obs_idx, bag.action)
         return state.replace(context=context, bag=bag, buffer=buffer)
 
     def handle_resets(
@@ -422,6 +444,11 @@ class Agent:
         hoisted off the sequential latency path.
         """
         cfg = self.config
+        if self.store_act_bags:
+            return replay.sample_with_stored_bag(
+                buffer, key, cfg.batch_size, cfg.context_len,
+                self.env.obs_mask,
+            )
         if self.use_bag:
             return replay.sample_with_bag(
                 buffer, key, cfg.batch_size, cfg.context_len,

@@ -58,6 +58,7 @@ class ExperimentConfig:
     pos: str = "learned"
     bag_size: int = 0
     bag_mask: bool = False  # ablation: mask padded bag slots (models/dtqn.py)
+    bag_store: bool = False  # train on stored act-time bags (replay/buffer.py)
     slurm_job_id: str = "0"
     # TPU-native execution knobs
     num_envs: int = 32  # vectorized env instances
@@ -68,6 +69,9 @@ class ExperimentConfig:
     dp_devices: int = 1  # data-parallel devices (mesh axis "dp")
     profile_dir: str = ""  # jax.profiler trace output (empty = off)
     bf16: bool = False  # bfloat16 activations/matmuls (params stay f32)
+    # Exploration floor (reference: 0.1, run.py:420).  Raising it is the
+    # non-parity HeavenHell loiter-breaking mitigation (VERDICT r4 item 3).
+    eps_min: float = 0.1
 
     def agent_config(self) -> AgentConfig:
         return AgentConfig(
@@ -91,6 +95,7 @@ class ExperimentConfig:
             pos=self.pos,
             bag_size=self.bag_size,
             bag_mask=self.bag_mask,
+            bag_store=self.bag_store,
         )
 
     @property
@@ -119,6 +124,8 @@ class ExperimentConfig:
             f"_gate={self.gate}_identity={self.identity}"
             f"_history={self.history}_pos={self.pos}_bag={self.bag_size}"
             + ("_bagmask=True" if self.bag_mask else "")
+            + ("_bagstore=True" if self.bag_store else "")
+            + (f"_epsmin={self.eps_min}" if self.eps_min != 0.1 else "")
             + f"_seed={self.seed}"
         )
 
@@ -177,6 +184,11 @@ def get_args(argv=None) -> ExperimentConfig:
     p.add_argument("--bag-mask", action="store_true",
                    help="Ablation: mask padded bag slots in the bag "
                         "cross-attention (reference attends over padding).")
+    p.add_argument("--bag-store", action="store_true",
+                   help="Train on stored ACT-TIME bags (eviction-policy "
+                        "contents) instead of the reference's uniform "
+                        "random pre-window subsets — closes the train/act "
+                        "bag-distribution mismatch.")
     p.add_argument("--slurm-job-id", type=str, default=d.slurm_job_id)
     # TPU-native knobs
     p.add_argument("--num-envs", type=int, default=d.num_envs)
@@ -191,6 +203,9 @@ def get_args(argv=None) -> ExperimentConfig:
                         "chunk here (TensorBoard-viewable).")
     p.add_argument("--bf16", action="store_true",
                    help="bfloat16 activations/matmuls (params stay float32).")
+    p.add_argument("--eps-min", type=float, default=d.eps_min,
+                   help="Epsilon anneal floor (reference: 0.1). Raising it "
+                        "is the HeavenHell loiter-breaking mitigation.")
 
     ns = p.parse_args(argv)
     fields = {f.name for f in dataclasses.fields(ExperimentConfig)}

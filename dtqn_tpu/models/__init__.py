@@ -56,6 +56,18 @@ def build_network(
         inner_embed=inner_embed,
     )
     if "DTQN" in model_str:
+        if bag_mask and not env.is_discrete:
+            # Padded-slot detection compares every obs element against the
+            # sentinel; that is only sound when the sentinel cannot occur
+            # as a real observation.  Discrete/MultiDiscrete envs guarantee
+            # it (sentinel = vocab, outside the token range); a continuous
+            # env whose observation equals the sentinel in every element
+            # would be silently masked (round-4 advisor finding).
+            raise ValueError(
+                "--bag-mask requires a discrete-observation env: the "
+                f"padding sentinel {float(env.obs_mask)} is inside a "
+                "continuous observation space's range"
+            )
         return DTQN(
             action_dim=action_dim,
             num_heads=num_heads,

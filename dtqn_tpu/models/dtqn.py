@@ -52,7 +52,9 @@ class DTQN(nn.Module):
     # Masked-bag-attention ablation (round 4): hide mask-padded bag slots
     # from the cross-attention instead of attending over them as the
     # reference does (dtqn.py:201-213).  ``obs_mask_value`` is the env's
-    # padding sentinel, used to detect empty slots.
+    # padding sentinel, used to detect empty slots — detection is only
+    # sound when the sentinel is outside the observable range, which
+    # ``build_network`` enforces (discrete-observation envs only).
     bag_mask: bool = False
     obs_mask_value: float = 0.0
 

@@ -65,6 +65,8 @@ def state_shardings(agent: Agent, state: AgentState, mesh: Mesh):
             write_pos=sharded,
             ep_count=sharded,
             flushed_total=replicated,
+            bag_idx=sharded if state.buffer.bag_idx is not None else None,
+            bag_act=sharded if state.buffer.bag_act is not None else None,
         ),
         context=shard(state.context),
         bag=shard(state.bag) if state.bag is not None else None,

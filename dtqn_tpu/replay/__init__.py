@@ -8,6 +8,8 @@ from dtqn_tpu.replay.buffer import (
     init_buffer,
     sample,
     sample_with_bag,
+    sample_with_stored_bag,
+    store_act_bag,
     store_first_obs,
     store_step,
 )
@@ -31,6 +33,8 @@ __all__ = [
     "can_sample",
     "sample",
     "sample_with_bag",
+    "sample_with_stored_bag",
+    "store_act_bag",
     "init_context",
     "reset_context",
     "add_transition",

@@ -4,6 +4,15 @@ Parity with `/root/reference/utils/bag.py:6-55`: a fixed-size store of
 (obs, action) pairs evicted from the context, mask-padded, with an ``add``
 that rejects when full (the Q-driven eviction policy lives in the DTQN agent,
 `dtqn/agents/dtqn.py:125-157`).
+
+Beyond parity, each slot also tracks ``obs_idx`` — the episode observation
+index its entry was evicted from (-1 = empty).  This costs one tiny int
+array and is what lets ``--bag-store`` record the exact act-time bag into
+replay as indices instead of duplicated observations (replay/buffer.py
+``store_act_bag``), closing the reference's train/act bag-distribution
+mismatch (training bags are uniform random pre-window subsets,
+`replay_buffer.py:171-264`, while act-time bags come from the greedy
+eviction policy, `dtqn/agents/dtqn.py:125-157`).
 """
 
 from __future__ import annotations
@@ -19,6 +28,7 @@ from flax import struct
 class BagState:
     obs: jax.Array  # [E, bag_size, *obs_shape]
     action: jax.Array  # [E, bag_size] int32
+    obs_idx: jax.Array  # [E, bag_size] int32 — episode obs index, -1 empty
     pos: jax.Array  # [E] int32
 
     @property
@@ -40,6 +50,7 @@ def init_bag(
     return BagState(
         obs=jnp.full((num_envs, bag_size, *obs_shape), obs_mask, obs_dtype),
         action=jnp.zeros((num_envs, bag_size), jnp.int32),
+        obs_idx=jnp.full((num_envs, bag_size), -1, jnp.int32),
         pos=jnp.zeros((num_envs,), jnp.int32),
     )
 
@@ -61,10 +72,12 @@ def bag_add(
     bag: BagState,
     obs: jax.Array,
     action: jax.Array,
+    obs_idx: jax.Array,
     add_mask: jax.Array,
 ) -> Tuple[BagState, jax.Array]:
     """Try to append (obs, action) for envs where ``add_mask``; rejected when
-    full (bag.py:28-36).  Returns (bag, accepted bool [E])."""
+    full (bag.py:28-36).  ``obs_idx`` is the evicted entry's episode
+    observation index.  Returns (bag, accepted bool [E])."""
     accept = jnp.logical_and(add_mask, jnp.logical_not(bag.is_full))
     e_idx = jnp.arange(bag.obs.shape[0])
     slot = jnp.minimum(bag.pos, bag.size - 1)
@@ -80,6 +93,7 @@ def bag_add(
         BagState(
             obs=put(bag.obs, obs),
             action=put(bag.action, action),
+            obs_idx=put(bag.obs_idx, obs_idx),
             pos=bag.pos + accept.astype(jnp.int32),
         ),
         accept,

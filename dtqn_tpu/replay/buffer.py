@@ -21,6 +21,15 @@ re-designed for fixed shapes and vectorized writers:
     otherwise a uniform random subset (replay_buffer.py:171-264) — realized
     as a masked top-k over random scores instead of per-sample rejection
     loops
+  - ``store_act_bag`` / ``sample_with_stored_bag`` (``--bag-store``, beyond
+    reference parity): record the ACT-TIME bag — the one the greedy
+    eviction policy actually built (`dtqn/agents/dtqn.py:125-157`) — per
+    timestep as (episode obs index, action) pairs, and train on the stored
+    bag of the sampled window's last acting step instead of the
+    reference's uniform random pre-window subset.  This closes the
+    reference design's train/act bag-distribution mismatch (the round-4
+    candidate cause of the DTQN-bag late decline); entries store indices,
+    not observations, so the overhead is two small int32 arrays
   - episode lengths are int32 (the reference's uint8 at replay_buffer.py:69
     silently overflows past 255 steps; not replicated)
 
@@ -48,6 +57,10 @@ class BufferState:
     write_pos: jax.Array  # [E] int32 — step cursor within current episode
     ep_count: jax.Array  # [E] int32 — episodes started per env
     flushed_total: jax.Array  # i32 — total completed episodes (can_sample)
+    # Act-time bag storage (--bag-store): slot p holds the bag state after
+    # transition p+1 = the bag used when ACTING at episode obs index p+1.
+    bag_idx: Optional[jax.Array] = None  # [R, T, bag] int32, -1 = empty
+    bag_act: Optional[jax.Array] = None  # [R, T, bag] int32
 
     @property
     def num_envs(self) -> int:
@@ -92,6 +105,7 @@ def init_buffer(
     obs_shape: Tuple[int, ...],
     obs_dtype,
     obs_mask: float,
+    act_bag_size: int = 0,
 ) -> BufferState:
     if context_len > max_episode_steps:
         raise ValueError(
@@ -103,6 +117,16 @@ def init_buffer(
     rows = rows_per_env * num_envs
     t = max_episode_steps
     return BufferState(
+        bag_idx=(
+            jnp.full((rows, t, act_bag_size), -1, jnp.int32)
+            if act_bag_size > 0
+            else None
+        ),
+        bag_act=(
+            jnp.zeros((rows, t, act_bag_size), jnp.int32)
+            if act_bag_size > 0
+            else None
+        ),
         obs=jnp.full((rows, t + 1, *obs_shape), obs_mask, obs_dtype),
         action=jnp.zeros((rows, t + 1), jnp.int32),
         reward=jnp.zeros((rows, t), jnp.float32),
@@ -149,6 +173,17 @@ def store_first_obs(
     new_ep_valid = buf.ep_valid.at[rows].set(
         jnp.where(mask, False, buf.ep_valid[rows])
     )
+    updates = {}
+    if buf.bag_idx is not None:
+        bag = buf.bag_idx.shape[2]
+        updates["bag_idx"] = _masked_row_update(
+            buf.bag_idx, rows, mask,
+            jnp.full((buf.num_envs, t, bag), -1, jnp.int32),
+        )
+        updates["bag_act"] = _masked_row_update(
+            buf.bag_act, rows, mask,
+            jnp.zeros((buf.num_envs, t, bag), jnp.int32),
+        )
     return buf.replace(
         obs=new_obs,
         action=new_action,
@@ -157,6 +192,7 @@ def store_first_obs(
         ep_len=new_ep_len,
         ep_valid=new_ep_valid,
         write_pos=jnp.where(mask, 0, buf.write_pos),
+        **updates,
     )
 
 
@@ -182,6 +218,24 @@ def store_step(
         done=buf.done.at[rows, pos].set(done.astype(bool)),
         ep_len=buf.ep_len.at[rows].set(pos + 1),
         write_pos=pos + 1,
+    )
+
+
+def store_act_bag(buf: BufferState, bag_idx, bag_act) -> BufferState:
+    """Record the act-time bag for the transition just written by
+    ``store_step`` (--bag-store).
+
+    Must be called AFTER ``store_step`` with the bag state as updated by
+    the agent's add/evict policy for that transition: slot p (= the
+    transition's write position) then holds the bag the agent acts with at
+    episode obs index p+1, which ``sample_with_stored_bag`` gathers for
+    windows ending there.
+    """
+    rows = buf.current_rows
+    pos = buf.write_pos - 1  # store_step already advanced the cursor
+    return buf.replace(
+        bag_idx=buf.bag_idx.at[rows, pos].set(bag_idx.astype(jnp.int32)),
+        bag_act=buf.bag_act.at[rows, pos].set(bag_act.astype(jnp.int32)),
     )
 
 
@@ -290,6 +344,55 @@ def sample_with_bag(
         jnp.asarray(obs_mask, buf.obs.dtype),
     )
     bag_act = jnp.where(chosen_valid, bag_act, 0)
+
+    return Batch(
+        obs=obs_s[:, :context_len],
+        action=act_s[:, :context_len],
+        reward=rew,
+        next_obs=obs_s[:, 1:],
+        next_action=act_s[:, 1:],
+        done=don,
+        ep_len=jnp.clip(buf.ep_len[rows], 0, context_len),
+        bag_obs=bag_obs,
+        bag_action=bag_act,
+    )
+
+
+def sample_with_stored_bag(
+    buf: BufferState,
+    key: jax.Array,
+    batch_size: int,
+    context_len: int,
+    obs_mask: float,
+) -> Batch:
+    """Batch plus the ACT-TIME bag recorded for each sampled window
+    (--bag-store; see ``store_act_bag``).
+
+    For a window starting at s, the relevant acting step is its last
+    position t = s + L - 1; the bag the agent used there is stored at slot
+    t - 1 (= the bag state after transition t).  Entries are episode obs
+    indices < s by construction (evictions at step t come from obs index
+    t - L), so the gathered bag is always pre-window — the same support as
+    ``sample_with_bag``, but with the eviction policy's actual contents
+    (including the context's random-action-init quirk on the first evicted
+    entry) instead of a uniform random subset.
+    """
+    rows, starts = _draw_windows(buf, key, batch_size, context_len)
+    obs_s, act_s, rew, don = _gather_windows(buf, rows, starts, context_len)
+
+    slot = jnp.clip(starts + context_len - 2, 0, buf.ep_len[rows] - 1)
+    idx = buf.bag_idx[rows, slot]  # [B, bag]
+    bag_act = buf.bag_act[rows, slot]  # [B, bag]
+    valid = idx >= 0
+    safe_idx = jnp.maximum(idx, 0)
+    bag_obs = buf.obs[rows[:, None], safe_idx]  # [B, bag, *obs_shape]
+    pad_shape = (1,) * (bag_obs.ndim - 2)
+    bag_obs = jnp.where(
+        valid.reshape(*valid.shape, *pad_shape),
+        bag_obs,
+        jnp.asarray(obs_mask, buf.obs.dtype),
+    )
+    bag_act = jnp.where(valid, bag_act, 0)
 
     return Batch(
         obs=obs_s[:, :context_len],

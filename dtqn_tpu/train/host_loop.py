@@ -139,10 +139,11 @@ def make_host_eval(agent: Agent, meta: HostEnvironment, n: int):
         )
         if agent.use_bag:
             need = jnp.logical_and(was_full, live)
-            bag, accepted = replay.bag_add(bag, ev_obs, ev_act, need)
+            ev_idx = context.timestep - cfg.context_len
+            bag, accepted = replay.bag_add(bag, ev_obs, ev_act, ev_idx, need)
             overflow = jnp.logical_and(need, jnp.logical_not(accepted))
             bag = agent._bag_evict(
-                params, context, bag, ev_obs, ev_act, overflow
+                params, context, bag, ev_obs, ev_act, ev_idx, overflow
             )
         return context, bag, carry_new
 

@@ -77,6 +77,7 @@ def make_train_chunk_fn(
     iters_per_chunk: int,
     presample: Optional[bool] = None,
     unroll: int = 4,
+    outer_unroll: int = 1,
 ):
     """Un-jitted chunk body: advance ``iters_per_chunk`` iterations (E env
     steps + ``updates_per_iter`` gradient steps each).  ``parallel.mesh``
@@ -88,7 +89,13 @@ def make_train_chunk_fn(
     updates.  Measured on the chip (bench.py --unroll): 4 gives
     2,563 env-steps/s vs 2,377 rolled (+7.8%), numerically identical
     (tests/test_agent_loop.py::TestUnroll), so 4 is the default; it
-    trades a longer compile for the win."""
+    trades a longer compile for the win.
+
+    ``outer_unroll`` unrolls the outer iteration scan (env step + update
+    scan + anneal) the same way, letting XLA fuse an iteration's trailing
+    update ops with the next iteration's act/env-step ops (the remaining
+    scan-bookkeeping class in the round-4 trace).  Semantics-preserving
+    for any value; measured on the chip via bench.py --outer-unroll."""
     unroll = max(1, min(unroll, updates_per_iter) if updates_per_iter > 0
                  else 1)
 
@@ -145,7 +152,8 @@ def make_train_chunk_fn(
 
     def train_chunk(state: AgentState) -> AgentState:
         state, _ = jax.lax.scan(
-            train_iter, state, None, length=iters_per_chunk
+            train_iter, state, None, length=iters_per_chunk,
+            unroll=max(1, min(outer_unroll, iters_per_chunk)),
         )
         return state
 
@@ -260,10 +268,13 @@ def make_evaluate_fn(agent: Agent, eval_env: Environment, eval_episodes: int):
             if agent.use_bag:
                 # Eval-time bag keeps the add/evict policy (dtqn.py:116-157).
                 need = jnp.logical_and(was_full, live)
-                bag_t, accepted = replay.bag_add(bag_t, ev_obs, ev_act, need)
+                ev_idx = context_t.timestep - cfg.context_len
+                bag_t, accepted = replay.bag_add(
+                    bag_t, ev_obs, ev_act, ev_idx, need
+                )
                 overflow = jnp.logical_and(need, jnp.logical_not(accepted))
                 bag_t = agent._bag_evict(
-                    params, context_t, bag_t, ev_obs, ev_act, overflow
+                    params, context_t, bag_t, ev_obs, ev_act, ev_idx, overflow
                 )
 
             def keep(old, new):

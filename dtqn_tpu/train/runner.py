@@ -149,8 +149,11 @@ def run_experiment(config: ExperimentConfig) -> dict:
             e.max_episode_steps = config.max_episode_steps
 
     agent = Agent(config.agent_config(), env)
-    # LinearAnneal(1.0, 0.1, num_steps/10) (run.py:420).
-    eps = EpsilonSchedule(1.0, 0.1, max(config.num_steps // 10, 1))
+    # LinearAnneal(1.0, 0.1, num_steps/10) (run.py:420); --eps-min raises
+    # the floor (non-parity mitigation, default keeps the reference 0.1).
+    eps = EpsilonSchedule(
+        1.0, config.eps_min, max(config.num_steps // 10, 1)
+    )
 
     from dtqn_tpu.utils.rng import seed_everything
 

@@ -68,7 +68,9 @@ def run_sweep(config: ExperimentConfig, seeds: Sequence[int]) -> dict:
             e.max_episode_steps = config.max_episode_steps
 
     agent = Agent(config.agent_config(), env)
-    eps = EpsilonSchedule(1.0, 0.1, max(config.num_steps // 10, 1))
+    eps = EpsilonSchedule(
+        1.0, config.eps_min, max(config.num_steps // 10, 1)
+    )
 
     from dtqn_tpu.utils.rng import seed_everything
 

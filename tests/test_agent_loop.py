@@ -188,3 +188,31 @@ class TestUnroll:
             np.testing.assert_allclose(
                 np.asarray(x), np.asarray(y), rtol=2e-5, atol=2e-6
             )
+
+    def test_outer_unroll_matches_rolled_scan(self):
+        """outer_unroll only unrolls the iteration scan; the computation
+        (env steps, update sequence, key streams) is identical."""
+        from dtqn_tpu.train.loop import make_train_chunk_fn
+        from dtqn_tpu.utils.epsilon import EpsilonSchedule
+        import numpy as np
+
+        env, agent, state = boot(small_config(), prepop_iters=200)
+        eps = EpsilonSchedule(1.0, 0.1, 1000)
+        copy = lambda s: jax.tree_util.tree_map(lambda x: x.copy(), s)
+        outs = []
+        for outer in (1, 2):
+            chunk = jax.jit(
+                make_train_chunk_fn(agent, eps, 4, 4, outer_unroll=outer),
+                donate_argnums=(0,),
+            )
+            outs.append(chunk(copy(state)))
+        a, b = outs
+        assert int(a.env_steps) == int(b.env_steps)
+        assert int(a.train_steps) == int(b.train_steps) > 0
+        for x, y in zip(
+            jax.tree_util.tree_leaves(a.params),
+            jax.tree_util.tree_leaves(b.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=2e-5, atol=2e-6
+            )

@@ -216,21 +216,31 @@ class TestBag:
     def test_add_and_reject(self):
         bag = replay.init_bag(E, 2, OBS, jnp.float32, -5.0)
         mask = jnp.ones((E,), bool)
-        bag, acc = replay.bag_add(bag, obs_of(1), jnp.ones((E,), jnp.int32), mask)
+        idx = jnp.ones((E,), jnp.int32)
+        bag, acc = replay.bag_add(
+            bag, obs_of(1), jnp.ones((E,), jnp.int32), idx, mask
+        )
         assert np.asarray(acc).all()
-        bag, acc = replay.bag_add(bag, obs_of(2), jnp.ones((E,), jnp.int32), mask)
+        bag, acc = replay.bag_add(
+            bag, obs_of(2), jnp.ones((E,), jnp.int32), 2 * idx, mask
+        )
         assert np.asarray(acc).all()
         # Full: rejected (bag.py:28-36).
-        bag, acc = replay.bag_add(bag, obs_of(3), jnp.ones((E,), jnp.int32), mask)
+        bag, acc = replay.bag_add(
+            bag, obs_of(3), jnp.ones((E,), jnp.int32), 3 * idx, mask
+        )
         assert not np.asarray(acc).any()
         np.testing.assert_allclose(np.asarray(bag.obs)[0, :, 0], [1.0, 2.0])
+        np.testing.assert_array_equal(np.asarray(bag.obs_idx)[0], [1, 2])
 
     def test_partial_reset(self):
         bag = replay.init_bag(E, 2, OBS, jnp.float32, -5.0)
         bag, _ = replay.bag_add(
-            bag, obs_of(1), jnp.ones((E,), jnp.int32), jnp.ones((E,), bool)
+            bag, obs_of(1), jnp.ones((E,), jnp.int32),
+            jnp.ones((E,), jnp.int32), jnp.ones((E,), bool),
         )
         bag2 = replay.reset_bag(bag, jnp.array([True, False]), -5.0)
         assert int(bag2.pos[0]) == 0 and int(bag2.pos[1]) == 1
         assert float(bag2.obs[0, 0, 0]) == -5.0
         assert float(bag2.obs[1, 0, 0]) == 1.0
+        assert int(bag2.obs_idx[0, 0]) == -1 and int(bag2.obs_idx[1, 0]) == 1

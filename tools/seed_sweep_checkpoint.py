@@ -18,6 +18,18 @@ is a warm restart of the same policy, not a bit-exact resume.
 Usage:
   python tools/seed_sweep_checkpoint.py --envs gv_memory.7x7.yaml \
       --seeds 1 2 3 4 5 --at-step 2001792 [other run.py flags]
+
+Round-5 curriculum mode:
+  --from-envs <name...>  load the per-seed policies saved under a
+      DIFFERENT env's run name (e.g. gv_memory.7x7.yaml+fspawn) while
+      building the checkpoint for --envs.  Obs/action shapes must match
+      (the +fspawn reset-rule variants do).  This is the spawn-curriculum
+      phase handoff: train on the easy distribution, fine-tune on the
+      original one.
+  --from-project <name>  project-name the source policies live under
+      (defaults to the target --project-name).
+  --restart-epsilon <f>  pin state.epsilon at the restart (default keeps
+      the fresh-init 1.0; fine-tunes want the annealed floor 0.1).
 """
 
 import os as _os, sys as _sys
@@ -43,9 +55,26 @@ import dataclasses
 
 def main():
     argv = sys.argv[1:]
-    at_step = int(argv[argv.index("--at-step") + 1])
-    i = argv.index("--at-step")
-    argv = argv[:i] + argv[i + 2 :]
+
+    def pop_opt(flag, nargs=1):
+        if flag not in argv:
+            return None
+        i = argv.index(flag)
+        if nargs == "+":
+            j = i + 1
+            while j < len(argv) and not argv[j].startswith("--"):
+                j += 1
+            vals = argv[i + 1 : j]
+            del argv[i:j]
+            return vals
+        vals = argv[i + 1 : i + 1 + nargs]
+        del argv[i : i + 1 + nargs]
+        return vals[0] if nargs == 1 else vals
+
+    at_step = int(pop_opt("--at-step"))
+    from_envs = pop_opt("--from-envs", nargs="+")
+    from_project = pop_opt("--from-project")
+    restart_epsilon = pop_opt("--restart-epsilon")
     config = get_args(argv)
     seeds = config.seeds
     assert len(seeds) > 1, "needs --seeds with >1 seed"
@@ -60,9 +89,14 @@ def main():
     states = jax.jit(jax.vmap(agent._init_state_impl))(keys)
 
     # Load each seed's final policy into params AND target_params.
+    # --from-envs redirects the SOURCE run name (curriculum handoff).
     params_list = []
     for s in seeds:
         c = dataclasses.replace(config, seed=s)
+        if from_envs is not None:
+            c = dataclasses.replace(c, envs=list(from_envs))
+        if from_project is not None:
+            c = dataclasses.replace(c, project_name=from_project)
         one = jax.tree_util.tree_map(lambda x: x[0], states.params)
         params_list.append(ckpt.load_policy(c.policy_path(), one))
     stacked = jax.tree_util.tree_map(
@@ -85,6 +119,10 @@ def main():
         env_steps=jnp.full((n,), at_step, jnp.int32),
         train_steps=jnp.full((n,), at_step, jnp.int32),
     )
+    if restart_epsilon is not None:
+        states = states.replace(
+            epsilon=jnp.full((n,), float(restart_epsilon), jnp.float32)
+        )
 
     ck_path = sweep_path(config, seeds)
     ckpt.save_checkpoint(ck_path, states)
