@@ -75,8 +75,13 @@ def main():
     bag = opt("--bag", 0)
     n_seeds = opt("--seeds", 1)
     presample = opt("--presample", -1)  # -1 auto, 0 off, 1 on
-    unroll = opt("--unroll", 4)  # update-scan unroll factor (the default)
-    outer_unroll = opt("--outer-unroll", 1)  # outer iteration-scan unroll
+    # Round-5 measured defaults (probe logs in policies/r5_queue/queue.log):
+    # update-scan unroll 8 + outer iteration-scan unroll 2 = 2,732 env-
+    # steps/s vs 2,609 (unroll 8 alone), 2,472 (outer 4 — too far), 2,563
+    # (round-4 unroll-4 default).  The outer unroll lets XLA fuse an
+    # iteration's trailing update ops with the next iteration's act path.
+    unroll = opt("--unroll", 8)  # update-scan unroll factor
+    outer_unroll = opt("--outer-unroll", 2)  # outer iteration-scan unroll
     if "--attention" in argv:
         from dtqn_tpu.ops.attention import set_attention_impl
 

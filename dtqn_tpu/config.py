@@ -66,6 +66,8 @@ class ExperimentConfig:
     iters_per_chunk: int = -1  # -1 => derived from eval_frequency
     prepop_steps: int = 50_000  # run.py:495
     attention: str = "xla"  # "xla" | "pallas"
+    unroll: int = 4  # update-scan unroll factor (train/loop.py)
+    outer_unroll: int = 1  # iteration-scan unroll (bench default: 2)
     dp_devices: int = 1  # data-parallel devices (mesh axis "dp")
     profile_dir: str = ""  # jax.profiler trace output (empty = off)
     bf16: bool = False  # bfloat16 activations/matmuls (params stay f32)
@@ -197,6 +199,11 @@ def get_args(argv=None) -> ExperimentConfig:
     p.add_argument("--prepop-steps", type=int, default=d.prepop_steps)
     p.add_argument("--attention", type=str, default=d.attention,
                    choices=["xla", "pallas"])
+    p.add_argument("--unroll", type=int, default=d.unroll,
+                   help="Update-scan unroll factor (numerics-preserving).")
+    p.add_argument("--outer-unroll", type=int, default=d.outer_unroll,
+                   help="Iteration-scan unroll factor (numerics-"
+                        "preserving; trades compile time for fusion).")
     p.add_argument("--dp-devices", type=int, default=d.dp_devices)
     p.add_argument("--profile-dir", type=str, default=d.profile_dir,
                    help="Write a jax.profiler trace of the first post-warmup "

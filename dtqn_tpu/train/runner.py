@@ -252,6 +252,8 @@ def run_experiment(config: ExperimentConfig) -> dict:
             eps,
             config.resolved_updates_per_iter,
             config.resolved_iters_per_chunk,
+            unroll=config.unroll,
+            outer_unroll=config.outer_unroll,
         )
     evaluators = [
         make_evaluate(agent, e, config.eval_episodes) for e in eval_envs

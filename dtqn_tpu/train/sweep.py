@@ -116,6 +116,8 @@ def run_sweep(config: ExperimentConfig, seeds: Sequence[int]) -> dict:
                 eps,
                 config.resolved_updates_per_iter,
                 config.resolved_iters_per_chunk,
+                unroll=config.unroll,
+                outer_unroll=config.outer_unroll,
             )
         ),
         donate_argnums=(0,),

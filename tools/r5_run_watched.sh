@@ -15,15 +15,19 @@
 # process does not occupy the chip — so after one SIGTERM + grace period the
 # child is ABANDONED (logged with its PID for end-of-round cleanup) and the
 # wrapper exits 124 so the queue can continue on the healthy chip.
+# STALL_MIN default 30 (round 5): cold remote chunk compiles take many
+# minutes with no artifact writes, and redirected python stdout is
+# block-buffered — 14 min false-killed healthy compiling jobs' margin.
+# `python -u` unbuffers the job log so chunk lines count as activity.
 set -u
-STALL_MIN="${STALL_MIN:-14}"
+STALL_MIN="${STALL_MIN:-30}"
 cd /root/repo
 NAME="$1"; shift
 LOGDIR=policies/r5_queue
 mkdir -p "$LOGDIR"
 
 echo "[$(date '+%H:%M:%S')] START $NAME: $*" | tee -a "$LOGDIR/queue.log"
-python run.py "$@" >> "$LOGDIR/$NAME.log" 2>&1 &
+python -u run.py "$@" >> "$LOGDIR/$NAME.log" 2>&1 &
 PID=$!
 
 while kill -0 "$PID" 2>/dev/null; do
