@@ -125,6 +125,7 @@ def main():
         )
 
     ck_path = sweep_path(config, seeds)
+    _os.makedirs(config.policy_dir(), exist_ok=True)
     ckpt.save_checkpoint(ck_path, states)
     ckpt.save_mini_checkpoint(ck_path, at_step, None)
     print(
