@@ -122,6 +122,7 @@ class TestConfig:
                 "--gate", "gru", "--identity", "--pos", "sin",
                 "--bag-size", "3", "--num-envs", "16", "--bf16",
                 "--attention", "pallas", "--lr", "1e-3",
+                "--eps-min", "0.3", "--outer-unroll", "2",
             ]
         )
         assert cfg.model == "DRQN"
@@ -131,6 +132,7 @@ class TestConfig:
         assert cfg.pos == "sin" and cfg.bag_size == 3
         assert cfg.num_envs == 16 and cfg.bf16
         assert cfg.attention == "pallas" and cfg.lr == pytest.approx(1e-3)
+        assert cfg.eps_min == pytest.approx(0.3) and cfg.outer_unroll == 2
 
     def test_run_name_has_13_fields(self):
         # 13-field config-encoded policy filename (run.py:456-460).
